@@ -1,0 +1,100 @@
+"""Iterative DataFrame connected components C1–C2 (SURVEY §2.6).
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC '14) — O(log n) rounds, each round two
+join/group shuffles; converges to star graphs rooted at each component's
+minimum node id. Chosen over plain label propagation because dup-cluster
+graphs can chain through overlapping LSH buckets (diameter > bucket size),
+and over GraphFrames because no external jar exists in the sandbox.
+
+Per-iteration ``localCheckpoint`` truncates lineage so the plan doesn't grow
+unboundedly (SURVEY §4 iterative plan growth); convergence is detected by a
+count of changed edges (an action per round — unavoidable for a data-dependent
+loop). Label skew from one giant component is bounded because stars attach
+leaves directly to roots (the BTS load-balancing paper [PAPERS.md] is the
+escape hatch if a pathological star itself becomes too hot; not needed at
+this tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, attach every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+            .withColumn("m", F.least("mn", F.col("src"))).drop("mn"))
+    return (sym.join(mins, on="src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each node u, connect all of N(u) ∪ {u}
+    to its minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    neighbors = (oriented.join(mins, on="src")
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (neighbors.union(self_edges)
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """C1 — edges DF[src, dst] (any orientation) → DF[node, component]
+    where component = min node id in the connected component.
+
+    Isolated nodes (absent from edges) are the caller's concern — every node
+    that appears in an edge gets a row; nodes with no edges are their own
+    component by definition (C2 handles them with a coalesce).
+    """
+    edges = (edges.select("src", "dst")
+             .where(F.col("src") != F.col("dst"))
+             .distinct()
+             .localCheckpoint())
+    if edges.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node long, component long")
+
+    for _ in range(max_iter):
+        edges_next = _small_star(_large_star(edges)).localCheckpoint()
+        changed = (edges_next.join(edges, on=["src", "dst"], how="left_anti")
+                   .limit(1).count())
+        old = edges
+        edges = edges_next
+        if changed == 0 and old.count() == edges.count():
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge "
+                           f"in {max_iter} iterations")
+
+    # converged: edges are (leaf → root); roots appear only as dst
+    leaves = edges.select(F.col("src").alias("node"),
+                          F.col("dst").alias("component"))
+    roots = edges.select(F.col("dst").alias("node"),
+                         F.col("dst").alias("component")).distinct()
+    return leaves.union(roots).distinct()
+
+
+def canonical_clusters(verified: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """C2 — passed pairs → DF[file_id, cluster_id]; cluster_id = min file_id
+    in component; singletons (no passed edge) cluster as themselves."""
+    edges = (verified.where(F.col("passed"))
+             .select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    comp = connected_components(edges)
+    return (all_nodes.select("file_id")
+            .join(comp.withColumnRenamed("node", "file_id"),
+                  on="file_id", how="left")
+            .select("file_id",
+                    F.coalesce("component", F.col("file_id"))
+                    .alias("cluster_id")))

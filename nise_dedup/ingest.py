@@ -1,0 +1,122 @@
+"""Ingest operators F1–F3 and row-level transforms R1–R3 (SURVEY §2.1–2.2).
+
+All pure DataFrame expressions — Catalyst pushes the filters into the scan
+and prunes columns; nothing here leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nise_dedup.config import DedupConfig
+
+CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_corpus(spark: SparkSession, uri: str, fmt: str = "parquet") -> DataFrame:
+    """F1 — corpus scan behind a format seam.
+
+    Production path is Iceberg (`fmt='iceberg'`: hidden partitioning +
+    min/max file skipping); the sandbox has no Iceberg runtime jar
+    (SURVEY §7.4), so tests/benches use parquet. Both return the
+    BASELINE.json input relation (repo, path, commit, lang, content).
+    """
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(uri)
+    else:
+        df = spark.read.parquet(uri)
+    return df.select(*CORPUS_COLS)
+
+
+def with_file_id(df: DataFrame) -> DataFrame:
+    """F2 — deterministic 64-bit id from the natural key (repo, path, commit).
+
+    xxhash64 is stable across runs/partitionings, unlike
+    monotonically_increasing_id — resumability and oracle-recall comparisons
+    both depend on this. Collision probability at 10^12 rows is ~2.7e-2 per
+    birthday bound on 64 bits, so callers must run ``assert_unique_ids``
+    once per ingest (cheap agg) — on collision, fall back to the natural key.
+    """
+    return df.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
+
+
+def assert_unique_ids(df: DataFrame) -> None:
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("file_id").alias("d"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise RuntimeError(
+            f"file_id collision: {row['n']} rows, {row['d']} distinct ids")
+
+
+def with_sha(df: DataFrame) -> DataFrame:
+    """F3 — content_sha256 + n_bytes. sha2() matches hashlib.sha256 hexdigest
+    over UTF-8 bytes; the per-row invariant (BASELINE.json input_hint) is
+    asserted at publish time by comparing output shas to ingest shas.
+    """
+    return (df
+            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            .withColumn("n_bytes", F.octet_length("content").cast("long")))
+
+
+def basic_filters(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """R2 — hygiene predicates, written early so Catalyst pushes them into
+    the parquet/Iceberg scan (null keys can't be identified or resumed)."""
+    return df.where(
+        F.col("content").isNotNull()
+        & F.col("repo").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("commit").isNotNull()
+    )
+
+
+# R1 normalization note: shingling/LCS normalization is applied INSIDE the
+# signature and verification UDFs (nise_dedup.hashing.normalize_text) so the
+# stored `content` column — and therefore the sha256 invariant — is never
+# touched. See DedupConfig.normalize.
+
+
+def collapse_exact(files: DataFrame) -> DataFrame:
+    """R3 — exact-duplicate collapse: one canonical row per distinct content.
+
+    At web scale exact dups dominate; collapsing before signatures is the
+    single biggest compute saver. groupBy(sha) is a hash aggregate with
+    map-side partial aggregation; ``min(file_id)`` is the deterministic
+    canonical representative. Returns DF[content_sha256, file_id, n_copies].
+    """
+    return (files
+            .groupBy("content_sha256")
+            .agg(F.min("file_id").alias("file_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def uniq_with_content(files: DataFrame) -> DataFrame:
+    """The `uniq` relation (SURVEY §1.2): canonical rows with content,
+    ready for the signature stage. Join back on (sha, file_id) is a cheap
+    semi-style join; content never shuffles more than once.
+    """
+    reps = collapse_exact(files).select("content_sha256", "file_id")
+    return (files
+            .join(reps, on=["content_sha256", "file_id"], how="inner")
+            .select("file_id", "content_sha256", "content", "n_bytes"))
+
+
+def expand_exact(clusters_uniq: DataFrame, files: DataFrame) -> DataFrame:
+    """Inverse of R3: propagate each canonical file's cluster_id to every
+    exact-duplicate row, via the sha->canonical map. Output has one row per
+    ORIGINAL input row."""
+    sha_to_canon = collapse_exact(files).select(
+        "content_sha256", F.col("file_id").alias("canon_id"))
+    labeled = sha_to_canon.join(
+        clusters_uniq.select(F.col("file_id").alias("canon_id"), "cluster_id"),
+        on="canon_id", how="left")
+    # canonical rows whose sha never reached clustering keep their own id
+    labeled = labeled.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("canon_id")))
+    return (files
+            .join(labeled.select("content_sha256", "cluster_id"),
+                  on="content_sha256", how="left")
+            .select("file_id", "repo", "path", "commit", "lang",
+                    "content_sha256", "cluster_id"))

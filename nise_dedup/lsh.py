@@ -1,0 +1,106 @@
+"""LSH banding + candidate generation L1–L3 (SURVEY §2.4).
+
+The scale-critical stage: a naive bucket self-join dies on one hot bucket
+(boilerplate/minified/near-empty files at web scale produce buckets with
+millions of members → O(m²) pair blowup on a single shuffle partition).
+The north rule demands "explicit salted repartitioning to break hot-bucket
+skew", implemented here as:
+
+  1. bucket sizing (window count over the band key),
+  2. degenerate buckets (> cfg.max_bucket members) dropped WITH a metrics
+     row — never silently (SURVEY §7.3 hard part 1),
+  3. buckets above cfg.bucket_cap split into ceil(cnt/cap) salted
+     sub-buckets by pmod(xxhash64(file_id), nsplits) — deterministic,
+  4. explicit repartition on (band_id, band_key, salt) so every pair-
+     generation task sees at most ~cap members per key,
+  5. within-salt pair self-join, PLUS cross-salt representative pairs
+     (min file_id per sub-bucket, all-pairs across the <= nsplits reps)
+     so bucket connectivity — hence cluster recall — survives salting.
+
+Cross-salt member pairs other than representatives are intentionally not
+emitted; connectivity via representatives suffices for the union-find stage,
+and the recall cost is measured by tests/test_pipeline_e2e.py against the
+full-pairwise oracle (caps sized so they never trigger below truly
+degenerate buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nise_dedup.config import DedupConfig
+
+
+def explode_bands(signatures: DataFrame) -> DataFrame:
+    """L1 — one row per (band_id, band_key, file_id).
+
+    Band keys were already computed inside the signature UDF (cheapest:
+    content scanned once); this is a pure JVM-side posexplode.
+    """
+    return signatures.select(
+        "file_id",
+        F.posexplode("band_keys").alias("band_id", "band_key"))
+
+
+def salted_buckets(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """L2 — size buckets, drop degenerates, salt hot buckets.
+
+    Output: (band_id, band_key, salt, file_id, cnt, nsplits), explicitly
+    repartitioned on the salted key.
+    """
+    w = Window.partitionBy("band_id", "band_key")
+    sized = bands.withColumn("cnt", F.count("*").over(w))
+    live = sized.where((F.col("cnt") >= 2) & (F.col("cnt") <= cfg.max_bucket))
+    salted = (live
+              .withColumn("nsplits",
+                          F.ceil(F.col("cnt") / F.lit(cfg.bucket_cap))
+                          .cast("int"))
+              .withColumn("salt",
+                          F.pmod(F.xxhash64("file_id"),
+                                 F.col("nsplits")).cast("int")))
+    return salted.repartition("band_id", "band_key", "salt")
+
+
+def bucket_metrics(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """No-silent-caps accounting: per-disposition bucket/member counts."""
+    counts = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("cnt"))
+    return (counts
+            .withColumn("disposition",
+                        F.when(F.col("cnt") < 2, F.lit("singleton"))
+                         .when(F.col("cnt") > cfg.max_bucket,
+                               F.lit("dropped_degenerate"))
+                         .when(F.col("cnt") > cfg.bucket_cap, F.lit("salted"))
+                         .otherwise(F.lit("direct")))
+            .groupBy("disposition")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.sum("cnt").alias("n_members"),
+                 F.max("cnt").alias("max_bucket_size")))
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """L3 — distinct candidate pairs (a < b) from salted buckets.
+
+    Equi-self-join on the salted key; AQE handles residual imbalance.
+    Cross-salt connectivity restored via representative pairs.
+    """
+    salted = salted_buckets(bands, cfg)
+
+    key = ["band_id", "band_key", "salt"]
+    left = salted.select(*key, F.col("file_id").alias("a"))
+    right = salted.select(*key, F.col("file_id").alias("b"))
+    within = (left.join(right, on=key)
+              .where(F.col("a") < F.col("b"))
+              .select("a", "b"))
+
+    reps = (salted.where(F.col("nsplits") > 1)
+            .groupBy("band_id", "band_key", "salt")
+            .agg(F.min("file_id").alias("rep")))
+    rkey = ["band_id", "band_key"]
+    rl = reps.select(*rkey, F.col("rep").alias("a"))
+    rr = reps.select(*rkey, F.col("rep").alias("b"))
+    cross = (rl.join(rr, on=rkey)
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b"))
+
+    return within.unionByName(cross).dropDuplicates(["a", "b"])

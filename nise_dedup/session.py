@@ -1,0 +1,37 @@
+"""SparkSession builder (SURVEY §3.1 step 2).
+
+Arrow on (all hot-path Python is pandas-UDF batches), AQE on (skew-join +
+partition coalescing), UTC session timezone (DuckDB-oracle comparability),
+small Arrow batches because ``content`` rows can be megabytes
+(SURVEY §7.3 hard part 5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from nise_dedup.config import DedupConfig
+
+
+def build_session(master: str | None = None,
+                  cfg: DedupConfig | None = None,
+                  app_name: str = "nise-dedup") -> SparkSession:
+    cfg = cfg or DedupConfig()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(cfg.arrow_batch_rows))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("NISE_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,73 @@
+"""Connected components (C1) vs plain union-find on random graphs, plus the
+C2 canonicalization contract (component id = min member)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nise_dedup.cc import canonical_clusters, connected_components
+
+import oracle as O
+
+
+def _uf_components(edges):
+    uf = O.UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return uf.components()
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)],
+        "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = _uf_components(edges)
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == want[n], (n, got[n], want[n])
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_chain_and_star(spark):
+    _check(spark, [(i, i + 1) for i in range(20)])            # long chain
+    _check(spark, [(0, i) for i in range(1, 15)])             # star
+    _check(spark, [(5, 1), (2, 5), (9, 8), (3, 3)])           # mixed + self
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(13)
+    for _ in range(5):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 90)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        _check(spark, edges)
+
+
+def test_canonical_clusters_singletons(spark):
+    verified = spark.createDataFrame(
+        [(1, 2, True), (3, 4, False), (2, 5, True)],
+        "a long, b long, passed boolean")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "file_id long")
+    got = {r["file_id"]: r["cluster_id"]
+           for r in canonical_clusters(verified, nodes).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 3: 3, 4: 4, 6: 6}
+
+
+def test_cc_idempotent_relabel(spark):
+    # feeding back (node, component) edges is a fixpoint
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comp = connected_components(df)
+    again = connected_components(
+        comp.where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("src"), F.col("component").alias("dst")))
+    assert sorted(comp.collect()) == sorted(again.collect())

@@ -1,0 +1,84 @@
+"""Resumability F4/F5 (SURVEY §3.2, BASELINE.json): stage manifests, skip
+semantics, config-hash invalidation, kill-after-stage-k equivalence."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from nise_dedup import corpus as C
+from nise_dedup.config import DedupConfig
+from nise_dedup.io import read_manifest, run_stage, stage_complete
+from nise_dedup.pipeline import run_pipeline
+
+STAGES = ["files", "uniq", "signatures", "cand_pairs",
+          "verified_pairs", "clusters_uniq", "clusters"]
+
+
+def _clusters(res):
+    return sorted((r["repo"], r["path"], r["commit"], r["cluster_id"])
+                  for r in res.clusters.collect())
+
+
+def test_stage_gate_skips_completed(spark, tmp_path):
+    ckpt = str(tmp_path / "ck")
+    calls = []
+
+    def make():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "x")
+
+    df1 = run_stage(spark, ckpt, "h1", "s1", make)
+    df2 = run_stage(spark, ckpt, "h1", "s1", make)
+    assert len(calls) == 1          # second call reloaded from manifest
+    assert df1.count() == df2.count() == 5
+    run_stage(spark, ckpt, "h2", "s1", make)
+    assert len(calls) == 2          # different config hash -> recompute
+    m = read_manifest(ckpt, "s1")
+    assert m["rows"] == 5 and m["config_hash"] == "h2"
+    assert sum(p["rows_out"] for p in m["partitions"]) == 5
+
+
+def test_kill_after_stage_k_resume_identical(spark, tmp_path):
+    cfg = DedupConfig(shuffle_partitions=8)
+    rows = C.generate("tiny", seed=42)
+    df = spark.createDataFrame(C.to_pandas(rows))
+
+    ckpt = str(tmp_path / "run1")
+    baseline = _clusters(run_pipeline(spark, df, cfg, ckpt=ckpt))
+    for s in STAGES:
+        assert stage_complete(ckpt, s, cfg.config_hash()), s
+
+    # simulate a kill mid-verification: wipe verification + downstream
+    for s in ["verified_pairs", "clusters_uniq", "clusters"]:
+        shutil.rmtree(os.path.join(ckpt, s))
+    sig_manifest_before = read_manifest(ckpt, "signatures")
+
+    resumed = _clusters(run_pipeline(spark, df, cfg, ckpt=ckpt))
+    assert resumed == baseline
+    # upstream stages were NOT recomputed (manifest untouched)
+    assert read_manifest(ckpt, "signatures") == sig_manifest_before
+
+
+def test_partial_stage_write_is_recomputed(spark, tmp_path):
+    # data written but manifest missing == killed mid-write -> recompute
+    cfg = DedupConfig(shuffle_partitions=8)
+    rows = C.generate("tiny", seed=7)
+    df = spark.createDataFrame(C.to_pandas(rows))
+    ckpt = str(tmp_path / "run2")
+    baseline = _clusters(run_pipeline(spark, df, cfg, ckpt=ckpt))
+    os.remove(os.path.join(ckpt, "cand_pairs", "manifest.json"))
+    resumed = _clusters(run_pipeline(spark, df, cfg, ckpt=ckpt))
+    assert resumed == baseline
+
+
+def test_corrupt_manifest_is_recomputed(spark, tmp_path):
+    ckpt = str(tmp_path / "ck3")
+    run_stage(spark, ckpt, "h", "s", lambda: spark.range(3))
+    with open(os.path.join(ckpt, "s", "manifest.json"), "w") as f:
+        f.write("{not json")
+    assert not stage_complete(ckpt, "s", "h")
+    df = run_stage(spark, ckpt, "h", "s", lambda: spark.range(3))
+    assert df.count() == 3
+    assert json.load(open(os.path.join(ckpt, "s", "manifest.json")))["rows"] == 3

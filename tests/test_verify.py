@@ -1,0 +1,91 @@
+"""Verification cascade V1–V4 against the oracle's frozen pass policy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nise_dedup.config import DedupConfig
+from nise_dedup.signatures import compute_signatures
+from nise_dedup.verify import hamming_expr, jaccard_expr, verify_pairs
+
+import oracle as O
+
+
+def test_jaccard_expr(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3], [2, 3, 4]), ([1], [1]), ([1], [2])],
+        "a array<long>, b array<long>")
+    got = [r["j"] for r in
+           df.select(jaccard_expr(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert got == [0.5, 1.0, 0.0]
+
+
+def test_hamming_expr(spark):
+    df = spark.createDataFrame([(0, 0), (0, 7), (-1, 0)], "a long, b long")
+    got = [r["h"] for r in
+           df.select(hamming_expr(F.col("a"), F.col("b")).alias("h")).collect()]
+    assert got == [0, 3, 64]
+
+
+def _docs():
+    base = "def compute(a, b):\n" + "\n".join(
+        f"    x{i} = a * {i} + b" for i in range(30)) + "\n    return x9\n"
+    near = base.replace("x7", "y7")                       # tiny edit
+    # block pair: J in (gate, tau_jaccard), Hamming > tau, LCS ratio >= 0.6
+    block_a = "\n".join(
+        f"alpha_{i} = fetch({i}) + {i * 7}" for i in range(8)) + "\n" + base
+    block_b = "\n".join(
+        f"beta_{j} = store({j * 3}) - {j}" for j in range(8)) + "\n" + base
+    far = "SELECT * FROM t WHERE x > 10 ORDER BY y\n" * 12
+    return {1: base, 2: near, 3: block_a, 4: block_b, 5: far}
+
+
+def test_verify_pairs_matches_oracle_policy(spark):
+    cfg = DedupConfig(num_perm=32, bands=8, rows=4)
+    docs = _docs()
+    uniq = spark.createDataFrame(list(docs.items()),
+                                 "file_id long, content string")
+    sigs = compute_signatures(uniq, cfg)
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5), (2, 3)], "a long, b long")
+    got = {(r["a"], r["b"]): r for r in
+           verify_pairs(cand, sigs, uniq, cfg).collect()}
+    assert set(got) == {(1, 2), (3, 4), (1, 5), (2, 3)}
+
+    # oracle-side: same policy with pure-python measures
+    sigs_o = {}
+    for fid, text in docs.items():
+        sh = O.shingle_hashes(
+            O.normalize_text(text, cfg.normalize).encode(), cfg.shingle_k)
+        sigs_o[fid] = (sh, O.simhash64(sh))
+    for (a, b), row in got.items():
+        sha, sim_a = sigs_o[a]
+        shb, sim_b = sigs_o[b]
+        j = O.jaccard(sha, shb)
+        h = O.hamming(sim_a, sim_b)
+        assert abs(row["jaccard"] - j) < 1e-12, (a, b)
+        assert row["hamming"] == h, (a, b)
+        passed = j >= cfg.tau_jaccard or h <= cfg.tau_hamming
+        if not passed and j >= cfg.tau_lcs_gate:
+            na = O.normalize_text(docs[a], cfg.normalize).encode()
+            nb = O.normalize_text(docs[b], cfg.normalize).encode()
+            lcs = O.longest_common_substring(na, nb)
+            assert row["lcs_len"] == lcs, (a, b)
+            passed = lcs >= cfg.tau_lcs_ratio * min(len(na), len(nb))
+        assert row["passed"] == passed, (a, b, row)
+    # sanity on the fixture's intent
+    assert got[(1, 2)]["passed"]       # near-identical
+    assert got[(3, 4)]["passed"]       # block copy -> LCS catch
+    assert got[(3, 4)]["lcs_len"] > 0  # LCS actually ran
+    assert not got[(1, 5)]["passed"]   # unrelated
+
+
+def test_lcs_disabled(spark):
+    cfg = DedupConfig(num_perm=32, bands=8, rows=4, lcs_enabled=False)
+    docs = _docs()
+    uniq = spark.createDataFrame(list(docs.items()),
+                                 "file_id long, content string")
+    sigs = compute_signatures(uniq, cfg)
+    cand = spark.createDataFrame([(3, 4)], "a long, b long")
+    row = verify_pairs(cand, sigs, uniq, cfg).collect()[0]
+    assert row["lcs_len"] == -1
