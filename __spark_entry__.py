@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship end-to-end near-duplicate dedup of the sf0.001
+``documents`` table mapped to the BASELINE corpus shape; returns the
+clusters DataFrame (one row per input row with its cluster_id).
+
+queries()/oracle_sql(): one entry per implemented operator from SURVEY.md §2
+plus the training-data extras (text quality, n-gram Jaccard, embedding
+similarity search, multimodal plumbing); see nise_dedup/queries.py for the
+registry and the type-parity notes.
 """
 
 from __future__ import annotations
@@ -13,26 +16,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from nise_dedup.config import DedupConfig
+    from nise_dedup.pipeline import run_pipeline
+    from nise_dedup.queries import docs_as_corpus
+
+    corpus = docs_as_corpus(spark, SF0001)
+    res = run_pipeline(spark, corpus, DedupConfig(shuffle_partitions=16))
+    return res.clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from nise_dedup.queries import REGISTRY
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nise_dedup.queries import REGISTRY
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

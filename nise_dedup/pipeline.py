@@ -32,12 +32,17 @@ class PipelineResult:
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,
                  cfg: DedupConfig | None = None,
-                 ckpt: str = "") -> PipelineResult:
+                 ckpt: str = "",
+                 collect_metrics: bool = True) -> PipelineResult:
     cfg = cfg or DedupConfig()
     ch = cfg.config_hash()
 
     def gate(name, fn, lineage=True):
-        return run_stage(spark, ckpt, ch, name, fn, lineage=lineage)
+        if ckpt:
+            return run_stage(spark, ckpt, ch, name, fn, lineage=lineage)
+        # no checkpoint dir: persist each stage so downstream stages (and the
+        # metrics counts) don't recompute the whole upstream lineage
+        return fn().persist()
 
     # --- ingest: ids + shas; content NOT persisted here (only uniq persists
     # content, once, deduplicated) ---
@@ -72,14 +77,15 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         return ingest.expand_exact(clusters_uniq, files)
     clusters = gate("clusters", _publish)
 
-    metrics = {
-        "config_hash": ch,
-        "n_files": files.count(),
-        "n_uniq": uniq.count(),
-        "n_cand_pairs": cand.count(),
-        "n_verified_pairs": verified.where("passed").count(),
-        "n_clusters": clusters_uniq.select("cluster_id").distinct().count(),
-    }
+    metrics = {"config_hash": ch}
+    if collect_metrics:
+        metrics.update({
+            "n_files": files.count(),
+            "n_uniq": uniq.count(),
+            "n_cand_pairs": cand.count(),
+            "n_verified_pairs": verified.where("passed").count(),
+            "n_clusters": clusters_uniq.select("cluster_id").distinct().count(),
+        })
     if ckpt:
         bands = lsh.explode_bands(signatures)
         write_stage(lsh.bucket_metrics(bands, cfg), "bucket_metrics",

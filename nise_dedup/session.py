@@ -18,11 +18,15 @@ from nise_dedup.config import DedupConfig
 def build_session(master: str | None = None,
                   cfg: DedupConfig | None = None,
                   app_name: str = "nise-dedup") -> SparkSession:
+    """master=None -> local[$SPARK_GRAFT_CPUS]; master="" -> don't set a
+    master at all (spark-submit provides it)."""
     cfg = cfg or DedupConfig()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master != "":
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        builder
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(cfg.arrow_batch_rows))
