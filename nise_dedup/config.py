@@ -32,7 +32,10 @@ class DedupConfig:
     #                            tau_lcs_ratio * min(len_a, len_b)))
     tau_jaccard: float = 0.70    # exact shingle-set Jaccard
     tau_hamming: int = 3         # SimHash 64-bit Hamming distance (Manku '07)
-    tau_lcs_gate: float = 0.20   # only run the O(n log n) LCS when J >= gate
+    tau_lcs_gate: float = 0.35   # only run the O(n log^2 n) LCS when J >= gate
+                                 # (a >=60%-of-both-files block implies shingle
+                                 # J >= ~0.43, so 0.35 keeps margin while
+                                 # skipping the weak-candidate mass)
     tau_lcs_ratio: float = 0.60  # LCS length >= ratio * min(len_a, len_b)
     tau_lcs_min_bytes: int = 512  # absolute floor: shared boilerplate headers
                                   # (license blocks etc.) must not LCS-merge

@@ -84,7 +84,9 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     Equi-self-join on the salted key; AQE handles residual imbalance.
     Cross-salt connectivity restored via representative pairs.
     """
-    salted = salted_buckets(bands, cfg)
+    # both the within-salt self-join and the representative pass read this:
+    # persist to avoid recomputing the window-count shuffle
+    salted = salted_buckets(bands, cfg).persist()
 
     key = ["band_id", "band_key", "salt"]
     left = salted.select(*key, F.col("file_id").alias("a"))

@@ -42,19 +42,30 @@ def hamming_expr(sim_a, sim_b):
 def _lcs_mapper(tau_lcs_ratio: float, tau_lcs_min_bytes: int, norm: str):
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nise_dedup.hashing import normalize_text
-        from nise_dedup.suffix import lcs_batch
+        from nise_dedup.suffix import has_common_substring, \
+            longest_common_substring
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ca = [normalize_text(s, norm).encode("utf-8")
-                  for s in pdf["content_a"]]
-            cb = [normalize_text(s, norm).encode("utf-8")
-                  for s in pdf["content_b"]]
-            lcs = lcs_batch(ca, cb)
-            min_len = [min(len(x), len(y)) for x, y in zip(ca, cb)]
-            ok = [int(l) >= max(tau_lcs_min_bytes, tau_lcs_ratio * m)
-                  for l, m in zip(lcs, min_len)]
+            n = len(pdf)
+            lcs = [-1] * n
+            ok = [False] * n
+            for i, (sa, sb) in enumerate(zip(pdf["content_a"],
+                                             pdf["content_b"])):
+                ca = normalize_text(sa, norm).encode("utf-8")
+                cb = normalize_text(sb, norm).encode("utf-8")
+                need = int(max(tau_lcs_min_bytes,
+                               tau_lcs_ratio * min(len(ca), len(cb))))
+                # exact O(n) threshold decision (hash-intersect +
+                # byte-verify); the O(n log^2 n) suffix array runs only on
+                # PASSING pairs, to report the true lcs_len, and on the
+                # astronomically-rare ambiguous collision (None)
+                hit = has_common_substring(ca, cb, need)
+                if hit is False:
+                    continue  # certain fail; lcs_len = -1 = "not computed"
+                lcs[i] = longest_common_substring(ca, cb)
+                ok[i] = lcs[i] >= need
             yield pd.DataFrame({"a": pdf["a"].to_numpy(),
                                 "b": pdf["b"].to_numpy(),
                                 "lcs_len": lcs,
@@ -84,6 +95,9 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
             .withColumn("passed_fast",
                         (F.col("jaccard") >= cfg.tau_jaccard)
                         | (F.col("hamming") <= cfg.tau_hamming)))
+    # `fast` feeds both the LCS residue and the final join (a diamond):
+    # persist so the signature joins don't recompute
+    fast = fast.persist()
 
     if not cfg.lcs_enabled:
         return (fast
@@ -95,11 +109,17 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
             .where(~F.col("passed_fast")
                    & (F.col("jaccard") >= cfg.tau_lcs_gate))
             .select("a", "b"))
+    # skip pairs that can never clear the absolute LCS floor: LCS <= min
+    # normalized length <= min raw byte length (normalization only removes)
     c_a = uniq.select(F.col("file_id").alias("a"),
-                      F.col("content").alias("content_a"))
+                      F.col("content").alias("content_a"),
+                      F.octet_length("content").alias("raw_a"))
     c_b = uniq.select(F.col("file_id").alias("b"),
-                      F.col("content").alias("content_b"))
+                      F.col("content").alias("content_b"),
+                      F.octet_length("content").alias("raw_b"))
     lcs = (need.join(c_a, on="a").join(c_b, on="b")
+           .where(F.least("raw_a", "raw_b") >= cfg.tau_lcs_min_bytes)
+           .drop("raw_a", "raw_b")
            .mapInPandas(_lcs_mapper(cfg.tau_lcs_ratio, cfg.tau_lcs_min_bytes,
                                     cfg.normalize),
                         schema="a long, b long, lcs_len long, lcs_pass boolean"))

@@ -252,9 +252,13 @@ def run_oracle(rows: list[dict], cfg, fast_signatures: bool = False) -> OracleRe
         if not passed and cfg.lcs_enabled and j >= cfg.tau_lcs_gate:
             ca = normalize_text(contents[a], cfg.normalize).encode("utf-8")
             cb = normalize_text(contents[b], cfg.normalize).encode("utf-8")
-            lcs_len = longest_common_substring(ca, cb)
-            passed = lcs_len >= max(cfg.tau_lcs_min_bytes,
-                                    cfg.tau_lcs_ratio * min(len(ca), len(cb)))
+            if min(len(ca), len(cb)) >= cfg.tau_lcs_min_bytes:
+                # (skip when LCS <= min_len can never clear the floor —
+                # same sound shortcut as the pipeline; passed stays False)
+                lcs_len = longest_common_substring(ca, cb)
+                passed = lcs_len >= max(
+                    cfg.tau_lcs_min_bytes,
+                    cfg.tau_lcs_ratio * min(len(ca), len(cb)))
         verified.append((a, b, j, h, lcs_len, passed))
         if passed:
             uf.union(a, b)

@@ -70,8 +70,10 @@ def test_verify_pairs_matches_oracle_policy(spark):
             na = O.normalize_text(docs[a], cfg.normalize).encode()
             nb = O.normalize_text(docs[b], cfg.normalize).encode()
             lcs = O.longest_common_substring(na, nb)
-            assert row["lcs_len"] == lcs, (a, b)
-            passed = lcs >= cfg.tau_lcs_ratio * min(len(na), len(nb))
+            if row["lcs_len"] >= 0:      # -1 = skipped by the sound prefilter
+                assert row["lcs_len"] == lcs, (a, b)
+            passed = lcs >= max(cfg.tau_lcs_min_bytes,
+                                cfg.tau_lcs_ratio * min(len(na), len(nb)))
         assert row["passed"] == passed, (a, b, row)
     # sanity on the fixture's intent
     assert got[(1, 2)]["passed"]       # near-identical
