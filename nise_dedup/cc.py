@@ -58,21 +58,30 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     that appears in an edge gets a row; nodes with no edges are their own
     component by definition (C2 handles them with a coalesce).
     """
+    def _sig(df):
+        # one action per iteration: set equality via (count, hash-XOR-fold)
+        # — order-independent, overflow-free under ANSI mode; edge sets are
+        # distinct so nothing self-cancels; collision prob ~2^-64/compare
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h")).first()
+        return (row["n"], row["h"])
+
     edges = (edges.select("src", "dst")
              .where(F.col("src") != F.col("dst"))
              .distinct()
-             .localCheckpoint())
-    if edges.isEmpty():
+             .localCheckpoint(eager=False))
+    prev = _sig(edges)
+    if prev[0] == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "node long, component long")
 
     for _ in range(max_iter):
-        edges_next = _small_star(_large_star(edges)).localCheckpoint()
-        changed = (edges_next.join(edges, on=["src", "dst"], how="left_anti")
-                   .limit(1).count())
-        old = edges
-        edges = edges_next
-        if changed == 0 and old.count() == edges.count():
+        edges_next = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        cur = _sig(edges_next)   # materializes the lazy checkpoint too
+        converged = cur == prev
+        edges, prev = edges_next, cur
+        if converged:
             break
     else:
         raise RuntimeError(f"connected_components did not converge "
