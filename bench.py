@@ -97,61 +97,91 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
+def run_dedup_only(corpus_path: str, cpus: int) -> dict:
+    """Time ONLY the end-to-end dedup pipeline over a corpus parquet —
+    the scaling-evidence job (compute-dominated at 50k files)."""
+    spark, cfg = _build(cpus)
+    from nise_dedup.ingest import read_corpus
+    from nise_dedup.pipeline import run_pipeline
+
+    corpus = read_corpus(spark, corpus_path).persist()
+    n = corpus.count()          # warm: JVM + input cached out of the timing
+    t0 = time.time()
+    res = run_pipeline(spark, corpus, cfg, collect_metrics=False)
+    n_out = res.clusters.count()
+    wall = time.time() - t0
+    spark.stop()
+    return {"files": n, "rows_out": n_out, "wall_s": round(wall, 2),
+            "files_per_sec": round(n / wall, 1), "cpus": cpus}
+
+
 def _scaling(sf_dir: str) -> None:
     """local[8] vs local[32] on identical input — the sandbox stand-in for
     N vs 4N executors (BASELINE.md). Fresh subprocess per level so JVM/GC
-    state can't leak between runs."""
+    state can't leak between runs. The job is the flagship dedup over a
+    50k-file synthetic code corpus (5k files can't feed 32 cores — fixed
+    job-scheduling overhead would dominate and understate scaling)."""
+    import nise_dedup.corpus as C
+
+    corpus_path = "/tmp/nise_bench/corpus_medium.parquet"
+    if not os.path.exists(corpus_path):
+        os.makedirs(os.path.dirname(corpus_path), exist_ok=True)
+        # small row groups so the parquet scan is splittable across tasks
+        C.to_pandas(C.generate("medium", 42)).to_parquet(
+            corpus_path, row_group_size=2000)
+
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ,
-                   SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__),
+             "--dedup-only", corpus_path],
             env=env, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
 
-    def thr(r):  # flagship throughput: corpus5k dedup files/sec
-        return r["dedup_corpus5k_files_per_sec"]
-
-    eff = (thr(results[32]) / thr(results[8])) / 4.0
+    thr8 = results[8]["files_per_sec"]
+    thr32 = results[32]["files_per_sec"]
+    eff = (thr32 / thr8) / 4.0
     os.makedirs("BENCH", exist_ok=True)
     import multiprocessing
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling evidence
 
-Protocol (BASELINE.md): same job, same input, two parallelism levels on one
-machine as the sandbox proxy for N vs 4N executor cluster sizes.
+Protocol (BASELINE.md): same job, same input, two local parallelism levels
+on one machine as the sandbox proxy for N vs 4N executor cluster sizes.
 
-Machine: {multiprocessing.cpu_count()} cores. Input: synthetic code corpus
-`nise_dedup.corpus.generate('small', 42)` (5k files, planted duplicate
-classes) + `{sf_dir}` tables.
+Job: end-to-end near-dup dedup (`nise_dedup.pipeline.run_pipeline`) over the
+deterministic 50k-file synthetic code corpus
+(`nise_dedup.corpus.generate('medium', 42)`, ~79 MB, planted duplicate
+classes). Machine: {multiprocessing.cpu_count()} cores. Fresh JVM per level;
+input parquet read + cache excluded from timing.
 
-| parallelism | flagship dedup wall (s) | files/sec | headline total (s) |
-|---|---|---|---|
-| local[8]  (N)  | {results[8]['queries']['dedup_corpus5k']} | {thr(results[8])} | {results[8]['value']} |
-| local[32] (4N) | {results[32]['queries']['dedup_corpus5k']} | {thr(results[32])} | {results[32]['value']} |
+| parallelism | dedup wall (s) | throughput (files/sec) |
+|---|---|---|
+| local[8]  (N)  | {results[8]['wall_s']} | {thr8} |
+| local[32] (4N) | {results[32]['wall_s']} | {thr32} |
 
-**Scaling efficiency (thr32/thr8)/4 = {eff:.3f}** (contract: >= 0.8 means
-linear; sub-linear values on one box reflect shared memory bandwidth /
-JVM-internal contention rather than the shuffle behavior that governs a real
-multi-executor cluster — see notes).
+**Scaling efficiency (thr32/thr8)/4 = {eff:.3f}** (contract target >= 0.8).
+
+Caveat: both levels share one JVM heap, one memory bus and one shuffle
+ramdisk, so this proxy UNDERSTATES multi-executor scaling — a real 4N
+cluster adds memory bandwidth and shuffle service capacity with the cores.
 
 Full JSON:
 
 ```json
-{json.dumps(results[8], indent=1)}
-```
-
-```json
-{json.dumps(results[32], indent=1)}
+{json.dumps(results, indent=1)}
 ```
 """)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      "thr8": thr(results[8]), "thr32": thr(results[32])}))
+                      "thr8": thr8, "thr32": thr32}))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling(SF_DIR)
+    elif "--dedup-only" in sys.argv:
+        path = sys.argv[sys.argv.index("--dedup-only") + 1]
+        print(json.dumps(run_dedup_only(path, CPUS)))
     else:
         print(json.dumps(run_bench(SF_DIR, CPUS)))

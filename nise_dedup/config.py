@@ -19,20 +19,52 @@ from dataclasses import asdict, dataclass, field
 class DedupConfig:
     # --- signature stage (SURVEY §2.3) ---
     shingle_k: int = 9           # char k-gram width; 9 is a common choice for code
-    num_perm: int = 128          # MinHash signature length n = bands * rows
-    bands: int = 32              # LSH bands b
-    rows: int = 4                # LSH rows per band r
+    num_perm: int = 125          # MinHash signature length n = bands * rows
+    bands: int = 25              # LSH bands b
+    rows: int = 5                # rows per band r; (1/25)^(1/5) ~= 0.52
+                                 # threshold: P(candidate)=99% at J=0.7,
+                                 # 87% at J=0.6 (block class), but only 2.4%
+                                 # at the J~0.25 boilerplate noise floor —
+                                 # r=4 admitted 12% of that mass and the
+                                 # candidate set blew up ~5x at 50k files
+    minhash_scheme: str = "oph1"  # "oph1": one-permutation hashing with
+                                  # circular densification (O(m) per doc vs
+                                  # O(m*n) classic); "kperm": classic
     seed: int = 42               # master seed for all hash families
 
-    # --- verification thresholds (SURVEY §2.5, frozen policy V4) ---
-    # passed = (jaccard >= tau_jaccard)
-    #        | (hamming <= tau_hamming)
-    #        | (jaccard >= tau_lcs_gate
-    #           & lcs_len >= max(tau_lcs_min_bytes,
-    #                            tau_lcs_ratio * min(len_a, len_b)))
+    # --- verification thresholds (SURVEY §2.5, frozen cascade policy V4) ---
+    # est — b-bit MinHash agreement (Li & Koenig '10): the low 2 bits of
+    #   each of the first est_components minhash values, packed into two
+    #   64-bit sketches per doc. With matches = #equal 2-bit slots,
+    #       est = (matches/est_components - 1/4) / (3/4)
+    #   (unequal minhash values collide on 2 bits w.p. 1/4; the correction
+    #   makes est an unbiased J estimate). Pure XOR+popcount per pair —
+    #   whole-stage-codegen, 16 bytes per side.
+    # ham = popcount(simhash_a XOR simhash_b)        (cheap: 8 B per side)
+    # Deep verification (exact Jaccard over shingle sets recomputed from
+    # content + suffix-array LCS) joins CONTENT only for pairs that clear
+    # the est gates — cost scales with true-dup density, not LSH noise.
+    #
+    # passed = (ham <= tau_hamming)
+    #        | (est >= est_accept)                      # near-certain pass
+    #        | (est >= est_exact_gate  &  J >= tau_jaccard)
+    #        | (not passed above  &  est >= tau_lcs_gate
+    #           &  lcs_len >= max(tau_lcs_min_bytes,
+    #                             tau_lcs_ratio * min(len_a, len_b)))
+    #
+    # sigma(est) ~= sqrt(p(1-p)/64)/0.75 ~= 0.08: a true J >= 0.7 pair
+    # fails est >= 0.45 with prob ~Phi(-3) ~= 0.1% — and the oracle
+    # (tests/oracle.py) implements the IDENTICAL cascade, so cluster parity
+    # stays exact, not probabilistic.
     tau_jaccard: float = 0.70    # exact shingle-set Jaccard
+    est_components: int = 64     # minhash prefix length used for est
+    est_accept: float = 0.90     # est this high passes WITHOUT exact J
+                                 # (P(true J < 0.7 | est >= 0.9) ~= Phi(-2.5);
+                                 # skips the deep join for the most common
+                                 # case — barely-mutated near-dups)
+    est_exact_gate: float = 0.45  # corrected est needed to compute exact J
     tau_hamming: int = 3         # SimHash 64-bit Hamming distance (Manku '07)
-    tau_lcs_gate: float = 0.35   # only run the O(n log^2 n) LCS when J >= gate
+    tau_lcs_gate: float = 0.35   # run the LCS path when est >= gate
                                  # (a >=60%-of-both-files block implies shingle
                                  # J >= ~0.43, so 0.35 keeps margin while
                                  # skipping the weak-candidate mass)
@@ -42,6 +74,13 @@ class DedupConfig:
                                   # short files — the precision guard for the
                                   # `license` negative class in FIXTURES.md §B
     lcs_enabled: bool = True
+    lcs_exact_lengths: bool = False  # True: run the O(n log^2 n) suffix
+                                     # array on passing pairs to report exact
+                                     # lcs_len (tests/diagnostics). False:
+                                     # the exact O(n) threshold decision
+                                     # alone determines `passed`; lcs_len
+                                     # reports the verified threshold.
+                                     # `passed` is IDENTICAL either way.
 
     # --- skew discipline (SURVEY §2.4 L2) ---
     bucket_cap: int = 256        # max members per (band, key) bucket before salting

@@ -56,8 +56,35 @@ def hash_seeds(n: int, seed: int) -> np.ndarray:
     return mix64(U64(seed % (1 << 64)) + i * _GOLDEN)
 
 
+_BINV = U64(pow(0x100000001B3, -1, 1 << 64))  # B odd -> invertible mod 2^64
+_pow_cache = np.ones(1, dtype=U64)
+_ipow_cache = np.ones(1, dtype=U64)
+
+
+def _powers(n: int):
+    """Cached B^i and B^-i tables, grown on demand (module-level, per
+    worker process)."""
+    global _pow_cache, _ipow_cache
+    if _pow_cache.shape[0] < n:
+        m = max(n, 2 * _pow_cache.shape[0])
+        p = np.empty(m, dtype=U64)
+        p[0] = 1
+        p[1:] = np.cumprod(np.full(m - 1, _POLY_BASE, dtype=U64), dtype=U64)
+        ip = np.empty(m, dtype=U64)
+        ip[0] = 1
+        ip[1:] = np.cumprod(np.full(m - 1, _BINV, dtype=U64), dtype=U64)
+        _pow_cache, _ipow_cache = p, ip
+    return _pow_cache, _ipow_cache
+
+
 def shingle_hashes(content: bytes, k: int) -> np.ndarray:
     """Sorted distinct 64-bit hashes of the char k-grams of ``content``.
+
+    Window value is the position-independent polynomial
+    sum_j byte[i+j] * B^j (mod 2^64), finalized with mix64 — computed for
+    ALL windows in O(m) via prefix sums Q[i] = sum_{j<i} byte[j] * B^j and
+    H(i) = (Q[i+k] - Q[i]) * B^-i (B odd, so invertible mod 2^64). No
+    m-by-k window matrix: memory traffic is linear in the document size.
 
     A document shorter than k yields ONE shingle: the hash of the whole
     byte string (so short files still get signatures; the DuckDB oracle
@@ -66,29 +93,21 @@ def shingle_hashes(content: bytes, k: int) -> np.ndarray:
     b = np.frombuffer(content, dtype=np.uint8)
     if b.size == 0:
         b = np.zeros(1, dtype=np.uint8)
-    if b.size < k:
-        windows = b[None, :]
-    else:
-        windows = np.lib.stride_tricks.sliding_window_view(b, k)
-    # polynomial: sum(byte[j] * B^(w-1-j)) mod 2^64, then mix
-    w = windows.shape[1]
-    powers = np.empty(w, dtype=U64)
-    acc = 1  # python int, masked: avoids numpy scalar-overflow warnings
-    base = int(_POLY_BASE)
-    for j in range(w - 1, -1, -1):
-        powers[j] = acc
-        acc = (acc * base) & 0xFFFFFFFFFFFFFFFF
-    h = (windows.astype(U64) * powers[None, :]).sum(axis=1, dtype=U64)
+    n = b.size
+    w = min(k, n)
+    pw, ipw = _powers(n)
+    q = np.empty(n + 1, dtype=U64)
+    q[0] = 0
+    np.cumsum(b.astype(U64) * pw[:n], out=q[1:], dtype=U64)
+    h = (q[w:] - q[: n - w + 1]) * ipw[: n - w + 1]
     return np.unique(mix64(h))
 
 
 def minhash(shingles: np.ndarray, seeds: np.ndarray,
             chunk: int = 1 << 15) -> np.ndarray:
-    """MinHash signature: min_i over shingles of mix64(x ^ seed_i).
-
-    Chunked over shingles so a 10^6-shingle file never materializes an
-    (n_perm × n_shingles) matrix bigger than ``n_perm * chunk`` (SURVEY §7.3
-    hard part 5: Arrow/NumPy memory discipline for megabyte contents).
+    """Classic k-permutation MinHash: min_i over shingles of
+    mix64(x ^ seed_i). O(m·n) — kept for reference/tests; the pipeline uses
+    ``minhash_oph`` (O(m)) by default (DedupConfig.minhash_scheme).
     Returns uint64[n_perm].
     """
     n = seeds.shape[0]
@@ -100,23 +119,69 @@ def minhash(shingles: np.ndarray, seeds: np.ndarray,
     return out
 
 
-def simhash64(shingles: np.ndarray, chunk: int = 1 << 15) -> int:
+def minhash_oph(shingles: np.ndarray, n: int, seed: int) -> np.ndarray:
+    """One-permutation MinHash (Li/Owen/Zhang '12) with circular
+    densification (Shrivastava/Li '14): ONE O(m) hash pass — each shingle
+    hash is rehashed once, assigned to bin h mod n, and each bin keeps its
+    minimum; empty bins borrow the value of the nearest non-empty bin to
+    the right (circular), remixed with the borrow distance so different
+    sparsity patterns don't fake agreement.
+
+    125x less arithmetic than classic MinHash at n=125, with the same
+    collision property E[bin_a == bin_b] ~= Jaccard. Returns uint64[n].
+    """
+    h = mix64(shingles ^ U64(seed & 0xFFFFFFFFFFFFFFFF) ^ _GOLDEN)
+    bins = (h % U64(n)).astype(np.int64)
+    vals = np.full(n, np.iinfo(np.uint64).max, dtype=U64)
+    np.minimum.at(vals, bins, h)
+    empty = vals == np.iinfo(np.uint64).max
+    # remix the filled minima: raw minima satisfy value % n == bin, so their
+    # low bits are bin-determined and IDENTICAL across documents — b-bit
+    # sketches over them would always agree. mix64 is a bijection, so
+    # equality semantics (same minimum element <=> equal value) survive.
+    vals[~empty] = mix64(vals[~empty])
+    if empty.any():
+        if empty.all():  # cannot happen (>=1 shingle) but stay total
+            return mix64(np.arange(n, dtype=U64) + U64(seed & 0xFFFF))
+        # distance to nearest non-empty bin on the right, circularly:
+        # iterate doubling over a "next filled" pointer (n<=few hundred,
+        # so a simple roll loop is fine and fully vectorized per step)
+        out = vals.copy()
+        dist = np.zeros(n, dtype=np.int64)
+        src = vals.copy()
+        remaining = empty.copy()
+        shift = 1
+        while remaining.any():
+            rolled = np.roll(src, -shift)
+            take = remaining & (rolled != np.iinfo(np.uint64).max)
+            off = U64((shift * int(_GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
+            out[take] = mix64(rolled[take] ^ off)
+            remaining &= ~take
+            shift += 1
+        vals = out
+    return vals
+
+
+def simhash64(shingles: np.ndarray, chunk: int = 1 << 18) -> int:
     """Charikar 64-bit SimHash over the (unweighted) shingle hash set.
 
     Bit j of the fingerprint is 1 iff sum over features of (2*bit_j - 1) > 0.
-    Returns a Python int in [0, 2^64).
+    Bit-plane sums come from one ``np.unpackbits`` pass (little-endian bit
+    order matches bit j == (x >> j) & 1). Returns a Python int in [0, 2^64).
     """
-    shifts = np.arange(64, dtype=U64)
     acc = np.zeros(64, dtype=np.int64)
+    m = 0
     for lo in range(0, shingles.shape[0], chunk):
-        x = shingles[lo:lo + chunk]
-        bits = ((x[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
-        acc += (2 * bits - 1).sum(axis=0)
-    fp = U64(0)
-    one = U64(1)
-    for j in range(64):
-        if acc[j] > 0:
-            fp |= one << U64(j)
+        x = np.ascontiguousarray(shingles[lo:lo + chunk])
+        bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+        acc += bits.sum(axis=0, dtype=np.int64)
+        m += x.shape[0]
+    signs = (2 * acc - m) > 0          # sum(2b-1) = 2*sum(b) - m
+    fp = np.uint64(0)
+    if signs.any():
+        fp = (signs.astype(np.uint64)
+              << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
     return int(fp)
 
 
@@ -131,6 +196,24 @@ def band_keys(sig: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:
     for j in range(rows):
         keys = mix64(keys ^ sig2[:, j])
     return keys
+
+
+def pack_bbit(mh: np.ndarray, m: int) -> tuple[int, int]:
+    """b-bit MinHash sketch (b=2, Li & Koenig '10): the low 2 bits of the
+    first m (<=64) minhash values packed into two int64 words — slot i
+    occupies bits [2i, 2i+1] of word i//32. Unused slots are zero (callers
+    mask them out of comparisons). Returns (lo, hi) as signed ints."""
+    m = min(m, 64, mh.shape[0])
+    bb = (mh[:m] & U64(3)).astype(np.uint64)
+    lo = hi = np.uint64(0)
+    n_lo = min(m, 32)
+    if n_lo:
+        lo = (bb[:n_lo] << (U64(2) * np.arange(n_lo, dtype=U64))).sum(
+            dtype=U64)
+    if m > 32:
+        hi = (bb[32:m] << (U64(2) * np.arange(m - 32, dtype=U64))).sum(
+            dtype=U64)
+    return int(np.int64(lo.astype(np.int64))), int(np.int64(hi.astype(np.int64)))
 
 
 def to_i64(x: np.ndarray | int):

@@ -26,7 +26,7 @@ degenerate buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nise_dedup.config import DedupConfig
@@ -46,12 +46,19 @@ def explode_bands(signatures: DataFrame) -> DataFrame:
 def salted_buckets(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """L2 — size buckets, drop degenerates, salt hot buckets.
 
+    Bucket sizes come from a groupBy (map-side partial agg) restricted to
+    cnt >= 2 — the overwhelming majority of buckets are singletons, so the
+    surviving count table is small and AQE broadcasts the join back onto
+    the band rows (a window over the full band table would sort-shuffle
+    every row instead, and was measurably slower).
+
     Output: (band_id, band_key, salt, file_id, cnt, nsplits), explicitly
     repartitioned on the salted key.
     """
-    w = Window.partitionBy("band_id", "band_key")
-    sized = bands.withColumn("cnt", F.count("*").over(w))
-    live = sized.where((F.col("cnt") >= 2) & (F.col("cnt") <= cfg.max_bucket))
+    counts = (bands.groupBy("band_id", "band_key")
+              .agg(F.count("*").alias("cnt"))
+              .where((F.col("cnt") >= 2) & (F.col("cnt") <= cfg.max_bucket)))
+    live = bands.join(counts, on=["band_id", "band_key"])
     salted = (live
               .withColumn("nsplits",
                           F.ceil(F.col("cnt") / F.lit(cfg.bucket_cap))
@@ -84,9 +91,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     Equi-self-join on the salted key; AQE handles residual imbalance.
     Cross-salt connectivity restored via representative pairs.
     """
-    # both the within-salt self-join and the representative pass read this:
-    # persist to avoid recomputing the window-count shuffle
+    # the within-salt self-join reads this TWICE (left/right) and the
+    # representative pass a third time: persist EAGERLY — a lazy persist
+    # races cold within a single downstream action and each branch
+    # recomputes the window-count shuffle
     salted = salted_buckets(bands, cfg).persist()
+    salted.count()
 
     key = ["band_id", "band_key", "salt"]
     left = salted.select(*key, F.col("file_id").alias("a"))

@@ -22,6 +22,17 @@ from nise_dedup.io import run_stage, write_stage
 from nise_dedup.signatures import compute_signatures
 
 
+def ensure_min_partitions(df: DataFrame, n: int) -> DataFrame:
+    """Repartition ONLY when underpartitioned (e.g. the corpus arrived as a
+    single unsplittable parquet row group, so every narrow stage — including
+    the Arrow signature UDF — would run on one core). On a real cluster the
+    scan has natural splits and this is a no-op; the check is plan metadata,
+    not an action."""
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 @dataclass
 class PipelineResult:
     clusters: DataFrame        # one row per input row: keys + cluster_id
@@ -40,9 +51,12 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     def gate(name, fn, lineage=True):
         if ckpt:
             return run_stage(spark, ckpt, ch, name, fn, lineage=lineage)
-        # no checkpoint dir: persist each stage so downstream stages (and the
-        # metrics counts) don't recompute the whole upstream lineage
-        return fn().persist()
+        # no checkpoint dir: persist each stage EAGERLY so stages with
+        # multiple downstream consumers aren't recomputed per consumer (a
+        # lazy persist races cold inside the first multi-branch action)
+        df = fn().persist()
+        df.count()
+        return df
 
     # --- ingest: ids + shas; content NOT persisted here (only uniq persists
     # content, once, deduplicated) ---
@@ -56,7 +70,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     def _uniq():
         df = ingest.basic_filters(corpus, cfg)
         df = ingest.with_sha(ingest.with_file_id(df))
-        return ingest.uniq_with_content(df)
+        return ensure_min_partitions(ingest.uniq_with_content(df),
+                                     cfg.shuffle_partitions)
     uniq = gate("uniq", _uniq)
 
     signatures = gate("signatures", lambda: compute_signatures(uniq, cfg))

@@ -35,7 +35,7 @@ def build_session(master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
-                os.environ.get("NISE_DRIVER_MEM", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+                os.environ.get("NISE_DRIVER_MEM", "24g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     return builder.getOrCreate()

@@ -1,19 +1,18 @@
 """Verification cascade V1–V4 (SURVEY §2.5).
 
-Frozen pass policy (identical in tests/oracle.py — this is the semantics the
-recall contract is measured under):
+Frozen pass policy — see DedupConfig for the exact formula; tests/oracle.py
+implements the identical cascade, so cluster parity with the reference
+oracle is exact, not probabilistic.
 
-    passed = (jaccard >= tau_jaccard)
-           | (hamming <= tau_hamming)
-           | (jaccard >= tau_lcs_gate  AND  lcs_len >= tau_lcs_ratio
-                                            * min(n_bytes_a, n_bytes_b))
-
-Cost cascade: Hamming (one XOR+popcount, JVM) and exact Jaccard
-(array_intersect/array_union over the stored shingle sets, JVM) are computed
-for every candidate pair; the O(n log^2 n) suffix-array LCS runs ONLY for
-pairs that failed both fast checks but cleared the Jaccard gate — at web
-scale that is a small residue (the `block` copy class), and it is the only
-stage that needs to re-join pair ids back to content bytes.
+Cost shape (the part that matters at 10^12 files):
+- every candidate pair joins only fixed-width metadata: an 8-byte simhash,
+  a 256-byte minhash prefix (est_components) and a length — never the full
+  shingle sets;
+- content bytes join ONLY for the est-gated residue, where ONE Arrow mapper
+  ("deep verify") recomputes the shingle sets (memoized per worker),
+  computes exact Jaccard, and runs the LCS check: an exact O(n)
+  rolling-hash threshold decision first, the O(n log^2 n) suffix array only
+  for pairs that provably contain a qualifying common substring.
 """
 
 from __future__ import annotations
@@ -28,7 +27,8 @@ from nise_dedup.config import DedupConfig
 
 
 def jaccard_expr(sh_a, sh_b):
-    """V1 — exact shingle-set Jaccard, JVM-side array ops."""
+    """V1 — exact set Jaccard over array columns, JVM-side (used by oracle
+    queries and tests; the pipeline's exact-J runs in the deep mapper)."""
     union = F.size(F.array_union(sh_a, sh_b))
     inter = F.size(F.array_intersect(sh_a, sh_b))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
@@ -39,96 +39,177 @@ def hamming_expr(sim_a, sim_b):
     return F.bit_count(sim_a.bitwiseXOR(sim_b))
 
 
-def _lcs_mapper(tau_lcs_ratio: float, tau_lcs_min_bytes: int, norm: str):
+_EVEN_BITS = 0x5555555555555555
+
+
+def bbit_est_expr(lo_a, hi_a, lo_b, hi_b, m: int):
+    """b-bit MinHash agreement estimate (b=2, Li & Koenig '10), corrected
+    for random 2-bit collisions: est = (matches/m - 1/4) / (3/4).
+
+    Pure XOR / shift / popcount — whole-stage-codegen (the earlier
+    zip_with/filter higher-order-function formulation was interpreted
+    per-row and dominated the metadata join). Slot i of each 64-bit word
+    holds 2 bits; a slot differs iff either bit differs, counted by masking
+    (x | x>>1) to the even bit positions. Arithmetic sign-extension from
+    shiftright lands on odd bit 63 and is masked out. Unused slots are zero
+    in both words and masked out via the slot-count masks.
+    """
+    def unequal(a, b, slots):
+        if slots <= 0:
+            return F.lit(0)
+        x = a.bitwiseXOR(b)
+        y = (x.bitwiseOR(F.shiftright(x, 1))).bitwiseAND(F.lit(_EVEN_BITS))
+        if slots < 32:
+            y = y.bitwiseAND(F.lit((1 << (2 * slots)) - 1))
+        return F.bit_count(y)
+
+    uneq = (unequal(lo_a, lo_b, min(32, m))
+            + unequal(hi_a, hi_b, m - 32))
+    matches = F.lit(m) - uneq
+    return (matches / F.lit(m) - 0.25) / 0.75
+
+
+def _deep_mapper(cfg: DedupConfig):
+    """Exact Jaccard + LCS over content for the est-gated residue.
+
+    Input cols: a, b, est, content_a, content_b.
+    Output: a, b, jaccard double (-1 if not computed), lcs_len long (-1),
+    deep_pass boolean. Per-worker memo caches normalized bytes AND shingle
+    sets per file id (pairs are repartitioned by `a`, so hits are frequent).
+    """
+    k, norm = cfg.shingle_k, cfg.normalize
+    tau_j, exact_gate = cfg.tau_jaccard, cfg.est_exact_gate
+    lcs_gate, ratio = cfg.tau_lcs_gate, cfg.tau_lcs_ratio
+    floor, lcs_on = cfg.tau_lcs_min_bytes, cfg.lcs_enabled
+    exact_lengths = cfg.lcs_exact_lengths
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from nise_dedup.hashing import normalize_text
+        import numpy as np
+
+        from nise_dedup import hashing as H
         from nise_dedup.suffix import has_common_substring, \
             longest_common_substring
 
+        memo: dict[int, tuple] = {}   # fid -> (norm_bytes, shingle_set|None)
+
+        def entry(fid: int, s: str, want_shingles: bool):
+            e = memo.get(fid)
+            if e is None:
+                e = (H.normalize_text(s, norm).encode("utf-8"), None)
+            if want_shingles and e[1] is None:
+                e = (e[0], H.shingle_hashes(e[0], k))
+            if len(memo) > 2048:
+                memo.clear()
+            memo[fid] = e
+            return e
+
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
             n = len(pdf)
-            lcs = [-1] * n
-            ok = [False] * n
+            if n == 0:
+                continue
+            jac = np.full(n, -1.0)
+            lcs = np.full(n, -1, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            ids_a = pdf["a"].to_numpy()
+            ids_b = pdf["b"].to_numpy()
+            ests = pdf["est"].to_numpy()
             for i, (sa, sb) in enumerate(zip(pdf["content_a"],
                                              pdf["content_b"])):
-                ca = normalize_text(sa, norm).encode("utf-8")
-                cb = normalize_text(sb, norm).encode("utf-8")
-                need = int(max(tau_lcs_min_bytes,
-                               tau_lcs_ratio * min(len(ca), len(cb))))
-                # exact O(n) threshold decision (hash-intersect +
-                # byte-verify); the O(n log^2 n) suffix array runs only on
-                # PASSING pairs, to report the true lcs_len, and on the
-                # astronomically-rare ambiguous collision (None)
+                est = ests[i]
+                want_j = est >= exact_gate
+                ca, sha = entry(int(ids_a[i]), sa, want_j)
+                cb, shb = entry(int(ids_b[i]), sb, want_j)
+                if want_j:
+                    inter = np.intersect1d(sha, shb,
+                                           assume_unique=True).size
+                    union = sha.size + shb.size - inter
+                    jac[i] = (inter / union) if union else 1.0
+                    ok[i] = jac[i] >= tau_j
+                if ok[i] or not lcs_on or est < lcs_gate:
+                    continue
+                need = int(max(floor, ratio * min(len(ca), len(cb))))
+                if min(len(ca), len(cb)) < need:
+                    continue
+                # exact O(n) threshold decision; `passed` never needs the
+                # true max — the suffix array runs only for diagnostics
+                # (lcs_exact_lengths) or the ~2^-64 ambiguous collision
                 hit = has_common_substring(ca, cb, need)
                 if hit is False:
-                    continue  # certain fail; lcs_len = -1 = "not computed"
-                lcs[i] = longest_common_substring(ca, cb)
-                ok[i] = lcs[i] >= need
-            yield pd.DataFrame({"a": pdf["a"].to_numpy(),
-                                "b": pdf["b"].to_numpy(),
-                                "lcs_len": lcs,
-                                "lcs_pass": ok})
+                    continue
+                if exact_lengths or hit is None:
+                    lcs[i] = longest_common_substring(ca, cb)
+                    ok[i] = lcs[i] >= need
+                else:
+                    lcs[i] = need       # verified lower bound
+                    ok[i] = True
+            yield pd.DataFrame({"a": ids_a, "b": ids_b, "jaccard": jac,
+                                "lcs_len": lcs, "deep_pass": ok})
+
     return compute
 
 
 def verify_pairs(cand: DataFrame, signatures: DataFrame,
                  uniq: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """V4 — full cascade. Returns
-    DF[a, b, jaccard, hamming, lcs_len, passed]; lcs_len = -1 where not run.
+    """V4 — cascade (see DedupConfig). Returns
+    DF[a, b, est, jaccard, hamming, lcs_len, passed];
+    jaccard/lcs_len = -1 where the cascade never computed them.
 
-    ``signatures`` must carry (file_id, simhash, shingles); ``uniq`` carries
-    (file_id, content) for the LCS residue only.
+    ``signatures`` must carry (file_id, simhash, minhash, n_bytes);
+    ``uniq`` carries (file_id, content) for the deep residue only.
     """
-    sig_a = signatures.select(F.col("file_id").alias("a"),
-                              F.col("simhash").alias("simhash_a"),
-                              F.col("shingles").alias("sh_a"))
-    sig_b = signatures.select(F.col("file_id").alias("b"),
-                              F.col("simhash").alias("simhash_b"),
-                              F.col("shingles").alias("sh_b"))
-    fast = (cand.join(sig_a, on="a").join(sig_b, on="b")
-            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+    m_eff = min(cfg.est_components, cfg.num_perm)
+    meta_a = signatures.select(F.col("file_id").alias("a"),
+                               F.col("simhash").alias("simhash_a"),
+                               F.col("mhb_lo").alias("lo_a"),
+                               F.col("mhb_hi").alias("hi_a"),
+                               F.col("n_bytes").alias("len_a"))
+    meta_b = signatures.select(F.col("file_id").alias("b"),
+                               F.col("simhash").alias("simhash_b"),
+                               F.col("mhb_lo").alias("lo_b"),
+                               F.col("mhb_hi").alias("hi_b"),
+                               F.col("n_bytes").alias("len_b"))
+    meta = (cand.join(meta_a.hint("shuffle_hash"), on="a")
+            .join(meta_b.hint("shuffle_hash"), on="b")
+            .withColumn("est", bbit_est_expr(F.col("lo_a"), F.col("hi_a"),
+                                             F.col("lo_b"), F.col("hi_b"),
+                                             m_eff))
             .withColumn("hamming", hamming_expr(F.col("simhash_a"),
                                                 F.col("simhash_b")))
-            .select("a", "b", "jaccard", "hamming")
-            .withColumn("passed_fast",
-                        (F.col("jaccard") >= cfg.tau_jaccard)
-                        | (F.col("hamming") <= cfg.tau_hamming)))
-    # `fast` feeds both the LCS residue and the final join (a diamond):
-    # persist so the signature joins don't recompute
-    fast = fast.persist()
+            .select("a", "b", "est", "hamming", "len_a", "len_b")
+            .persist())
+    meta.count()   # eager: three consumers below; lazy persist would race
 
-    if not cfg.lcs_enabled:
-        return (fast
-                .withColumn("lcs_len", F.lit(-1).cast("long"))
-                .withColumn("passed", F.col("passed_fast"))
-                .drop("passed_fast"))
+    # deep residue: hamming failed, est below the near-certain accept, AND
+    # est clears a gate; the LCS-only band (est in [lcs_gate, exact_gate))
+    # additionally needs the length floor (LCS <= min normalized length,
+    # computed exactly in the signature stage)
+    fast_pass = ((F.col("hamming") <= cfg.tau_hamming)
+                 | (F.col("est") >= cfg.est_accept))
+    deep_gate = ~fast_pass & (
+        (F.col("est") >= cfg.est_exact_gate)
+        | ((F.col("est") >= cfg.tau_lcs_gate) & cfg.lcs_enabled
+           & (F.least("len_a", "len_b") >= cfg.tau_lcs_min_bytes)))
+    need = meta.where(deep_gate).select("a", "b", "est")
 
-    need = (fast
-            .where(~F.col("passed_fast")
-                   & (F.col("jaccard") >= cfg.tau_lcs_gate))
-            .select("a", "b"))
-    # skip pairs that can never clear the absolute LCS floor: LCS <= min
-    # normalized length <= min raw byte length (normalization only removes)
     c_a = uniq.select(F.col("file_id").alias("a"),
-                      F.col("content").alias("content_a"),
-                      F.octet_length("content").alias("raw_a"))
+                      F.col("content").alias("content_a"))
     c_b = uniq.select(F.col("file_id").alias("b"),
-                      F.col("content").alias("content_b"),
-                      F.octet_length("content").alias("raw_b"))
-    lcs = (need.join(c_a, on="a").join(c_b, on="b")
-           .where(F.least("raw_a", "raw_b") >= cfg.tau_lcs_min_bytes)
-           .drop("raw_a", "raw_b")
-           .mapInPandas(_lcs_mapper(cfg.tau_lcs_ratio, cfg.tau_lcs_min_bytes,
-                                    cfg.normalize),
-                        schema="a long, b long, lcs_len long, lcs_pass boolean"))
+                      F.col("content").alias("content_b"))
+    deep_schema = ("a long, b long, jaccard double, lcs_len long, "
+                   "deep_pass boolean")
+    deep = (need.join(c_a, on="a").join(c_b, on="b")
+            # spread the CPU-heavy residue across cores even when the join
+            # planned a broadcast; key by `a` so the worker memo hits
+            .repartition(cfg.shuffle_partitions, "a")
+            .mapInPandas(_deep_mapper(cfg), schema=deep_schema))
 
-    return (fast
-            .join(lcs, on=["a", "b"], how="left")
+    return (meta.join(deep, on=["a", "b"], how="left")
+            .withColumn("jaccard", F.coalesce("jaccard", F.lit(-1.0)))
             .withColumn("lcs_len",
                         F.coalesce(F.col("lcs_len"), F.lit(-1)).cast("long"))
             .withColumn("passed",
-                        F.col("passed_fast")
-                        | F.coalesce(F.col("lcs_pass"), F.lit(False)))
-            .select("a", "b", "jaccard", "hamming", "lcs_len", "passed"))
+                        (F.col("hamming") <= cfg.tau_hamming)
+                        | (F.col("est") >= cfg.est_accept)
+                        | F.coalesce(F.col("deep_pass"), F.lit(False)))
+            .select("a", "b", "est", "jaccard", "hamming", "lcs_len",
+                    "passed"))

@@ -51,13 +51,15 @@ def hash_seeds(n: int, seed: int) -> list[int]:
 
 
 def shingle_hashes(content: bytes, k: int) -> list[int]:
-    """Sorted distinct hashes of char k-grams; <k-byte docs -> one whole-doc shingle."""
+    """Sorted distinct hashes of char k-grams; <k-byte docs -> one whole-doc
+    shingle. Window value = sum_j byte[j] * B^j mod 2^64 (independent
+    reimplementation of nise_dedup.hashing.shingle_hashes)."""
     b = content if content else b"\x00"
     windows = [b] if len(b) < k else [b[i:i + k] for i in range(len(b) - k + 1)]
     out = set()
     for w in windows:
         h = 0
-        for byte in w:
+        for byte in reversed(w):
             h = (h * _POLY_BASE + byte) & MASK64
         out.add(mix64(h))
     return sorted(out)
@@ -65,6 +67,31 @@ def shingle_hashes(content: bytes, k: int) -> list[int]:
 
 def minhash(shingles: list[int], seeds: list[int]) -> list[int]:
     return [min(mix64(x ^ s) for x in shingles) for s in seeds]
+
+
+def minhash_oph(shingles: list[int], n: int, seed: int) -> list[int]:
+    """Independent reimplementation of nise_dedup.hashing.minhash_oph:
+    one-permutation hashing, bin = h mod n, circular right-borrow
+    densification remixed with the borrow distance."""
+    vals: list = [None] * n
+    for x in shingles:
+        h = mix64((x ^ (seed & MASK64) ^ _GOLDEN) & MASK64)
+        b = h % n
+        if vals[b] is None or h < vals[b]:
+            vals[b] = h
+    # remix filled minima (raw minima leak the bin index in their low bits;
+    # see nise_dedup.hashing.minhash_oph)
+    vals = [mix64(v) if v is not None else None for v in vals]
+    out = []
+    for i in range(n):
+        if vals[i] is not None:
+            out.append(vals[i])
+            continue
+        j = 1
+        while vals[(i + j) % n] is None:
+            j += 1
+        out.append(mix64(vals[(i + j) % n] ^ ((j * _GOLDEN) & MASK64)))
+    return out
 
 
 def simhash64(shingles: list[int]) -> int:
@@ -199,7 +226,10 @@ def run_oracle(rows: list[dict], cfg, fast_signatures: bool = False) -> OracleRe
             sh = H.shingle_hashes(
                 H.normalize_text(text, cfg.normalize).encode("utf-8"),
                 cfg.shingle_k)
-            mh = H.minhash(sh, np_seeds)
+            if cfg.minhash_scheme == "kperm":
+                mh = H.minhash(sh, np_seeds)
+            else:
+                mh = H.minhash_oph(sh, cfg.num_perm, cfg.seed)
             sim = int(H.simhash64(sh))
             bk = [int(x) for x in H.band_keys(mh, cfg.bands, cfg.rows, cfg.seed)]
             return [int(x) for x in sh], [int(x) for x in mh], sim, bk
@@ -208,7 +238,10 @@ def run_oracle(rows: list[dict], cfg, fast_signatures: bool = False) -> OracleRe
             sh = shingle_hashes(
                 normalize_text(text, cfg.normalize).encode("utf-8"),
                 cfg.shingle_k)
-            mh = minhash(sh, seeds)
+            if cfg.minhash_scheme == "kperm":
+                mh = minhash(sh, seeds)
+            else:
+                mh = minhash_oph(sh, cfg.num_perm, cfg.seed)
             return sh, mh, simhash64(sh), band_keys(mh, cfg.bands,
                                                     cfg.rows, cfg.seed)
     keys, contents = [], {}
@@ -243,13 +276,23 @@ def run_oracle(rows: list[dict], cfg, fast_signatures: bool = False) -> OracleRe
         uf.find(key)
     verified = []
     for a, b in sorted(cand):
-        sha, _, sim_a = sigs[a]
-        shb, _, sim_b = sigs[b]
-        j = jaccard(sha, shb)
+        sha, mha, sim_a = sigs[a]
+        shb, mhb, sim_b = sigs[b]
+        # cascade identical to nise_dedup.verify (see DedupConfig):
+        # 2-bit b-bit minhash agreement over the first est_components
+        # values, corrected for random 2-bit collisions
+        m = min(cfg.est_components, cfg.num_perm)
+        matches = sum(1 for x, y in zip(mha[:m], mhb[:m])
+                      if (x & 3) == (y & 3))
+        est = (matches / m - 0.25) / 0.75
         h = hamming(sim_a, sim_b)
-        passed = j >= cfg.tau_jaccard or h <= cfg.tau_hamming
+        fast_pass = h <= cfg.tau_hamming or est >= cfg.est_accept
+        j = -1.0
+        if not fast_pass and est >= cfg.est_exact_gate:
+            j = jaccard(sha, shb)
+        passed = fast_pass or j >= cfg.tau_jaccard
         lcs_len = -1
-        if not passed and cfg.lcs_enabled and j >= cfg.tau_lcs_gate:
+        if not passed and cfg.lcs_enabled and est >= cfg.tau_lcs_gate:
             ca = normalize_text(contents[a], cfg.normalize).encode("utf-8")
             cb = normalize_text(contents[b], cfg.normalize).encode("utf-8")
             if min(len(ca), len(cb)) >= cfg.tau_lcs_min_bytes:

@@ -62,6 +62,39 @@ def test_minhash_simhash_bands_match():
         assert [u64(x) for x in bk_np] == bk_py
 
 
+def test_minhash_oph_matches_oracle():
+    rng = random.Random(21)
+    for trial in range(12):
+        text = "".join(rng.choice("abcdefg \n{}()=") for _ in range(rng.randint(1, 600)))
+        sh_np = H.shingle_hashes(text.encode(), 9)
+        sh_py = [u64(x) for x in sh_np]
+        for n in (8, 25, 125):
+            got = H.minhash_oph(sh_np, n, 42)
+            want = O.minhash_oph(sh_py, n, 42)
+            assert [u64(g) for g in got] == want, (trial, n)
+
+
+def test_minhash_oph_estimates_jaccard():
+    base = [f"token{i} " for i in range(300)]
+    a = "".join(base)
+    b = "".join(base[:210] + [f"other{i} " for i in range(90)])
+    sa = H.shingle_hashes(a.encode(), 9)
+    sb = H.shingle_hashes(b.encode(), 9)
+    true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+    ma = H.minhash_oph(sa, 256, 42)
+    mb = H.minhash_oph(sb, 256, 42)
+    est = (ma == mb).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_simhash_vectorized_matches_oracle_bitloop():
+    rng = random.Random(33)
+    for _ in range(8):
+        sh = H.shingle_hashes(
+            bytes(rng.randrange(256) for _ in range(rng.randint(1, 500))), 7)
+        assert u64(H.simhash64(sh)) == O.simhash64([u64(x) for x in sh])
+
+
 def test_minhash_chunking_invariant():
     sh = H.shingle_hashes(b"x" * 5000 + bytes(range(256)) * 40, 9)
     seeds = H.hash_seeds(16, 1)

@@ -41,7 +41,7 @@ def _docs():
 
 
 def test_verify_pairs_matches_oracle_policy(spark):
-    cfg = DedupConfig(num_perm=32, bands=8, rows=4)
+    cfg = DedupConfig(num_perm=32, bands=8, rows=4, lcs_exact_lengths=True)
     docs = _docs()
     uniq = spark.createDataFrame(list(docs.items()),
                                  "file_id long, content string")
@@ -52,21 +52,30 @@ def test_verify_pairs_matches_oracle_policy(spark):
            verify_pairs(cand, sigs, uniq, cfg).collect()}
     assert set(got) == {(1, 2), (3, 4), (1, 5), (2, 3)}
 
-    # oracle-side: same policy with pure-python measures
+    # oracle-side: same cascade with pure-python measures
     sigs_o = {}
     for fid, text in docs.items():
         sh = O.shingle_hashes(
             O.normalize_text(text, cfg.normalize).encode(), cfg.shingle_k)
-        sigs_o[fid] = (sh, O.simhash64(sh))
+        mh = O.minhash_oph(sh, cfg.num_perm, cfg.seed)
+        sigs_o[fid] = (sh, mh, O.simhash64(sh))
     for (a, b), row in got.items():
-        sha, sim_a = sigs_o[a]
-        shb, sim_b = sigs_o[b]
-        j = O.jaccard(sha, shb)
+        sha, mha, sim_a = sigs_o[a]
+        shb, mhb, sim_b = sigs_o[b]
+        m = min(cfg.est_components, cfg.num_perm)
+        matches = sum(1 for x, y in zip(mha[:m], mhb[:m])
+                      if (x & 3) == (y & 3))
+        est = (matches / m - 0.25) / 0.75
         h = O.hamming(sim_a, sim_b)
-        assert abs(row["jaccard"] - j) < 1e-12, (a, b)
+        assert abs(row["est"] - est) < 1e-12, (a, b)
         assert row["hamming"] == h, (a, b)
-        passed = j >= cfg.tau_jaccard or h <= cfg.tau_hamming
-        if not passed and j >= cfg.tau_lcs_gate:
+        fast_pass = h <= cfg.tau_hamming or est >= cfg.est_accept
+        j = -1.0
+        if not fast_pass and est >= cfg.est_exact_gate:
+            j = O.jaccard(sha, shb)
+        assert abs(row["jaccard"] - j) < 1e-12, (a, b)
+        passed = fast_pass or j >= cfg.tau_jaccard
+        if not passed and est >= cfg.tau_lcs_gate:
             na = O.normalize_text(docs[a], cfg.normalize).encode()
             nb = O.normalize_text(docs[b], cfg.normalize).encode()
             lcs = O.longest_common_substring(na, nb)
