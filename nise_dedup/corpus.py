@@ -41,7 +41,8 @@ _LICENSE = (
     "// distributed under the License is distributed on an \"AS IS\" BASIS.\n\n"
 )
 
-SIZES = {"tiny": 200, "small": 5000, "medium": 50_000, "bench": 200_000}
+SIZES = {"tiny": 200, "small": 5000, "medium": 50_000, "bench": 200_000,
+         "xl": 1_000_000}
 
 
 @dataclass

@@ -1,0 +1,106 @@
+"""Unit tests for the training-data extras (SURVEY §2.8): text ops,
+embedding similarity, multimodal plumbing — edge cases the DuckDB parity
+checks don't reach."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nise_dedup import multimodal, textops, vectors
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "  a  b\t c\nd  ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in
+           textops.quality_features(df).select(
+               "doc_id", "n_tokens").collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 4}
+
+
+def test_word_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d"), (2, "x y")],
+        "doc_id long, text string")
+    rows = {(r["a"], r["b"]): r for r in
+            textops.word_jaccard_consecutive(df).collect()}
+    assert rows[(0, 1)]["n_common"] == 2
+    assert rows[(0, 1)]["n_union"] == 4
+    assert abs(rows[(0, 1)]["jaccard"] - 0.5) < 1e-12
+    assert rows[(1, 2)]["n_common"] == 0
+
+
+def test_ngram_jaccard_identical_and_short(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdef"), (1, "abcdef"), (2, "ab")],
+        "doc_id long, text string")
+    rows = {(r["a"], r["b"]): r for r in
+            textops.char_ngram_jaccard_consecutive(df, n=3).collect()}
+    assert rows[(0, 1)]["jaccard"] == 1.0
+    assert rows[(1, 2)]["n_common"] == 0   # "ab" yields gram "ab" (len<3)
+
+
+def test_doc_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world " * 10)],
+                               "doc_id long, text string")
+    a = textops.doc_fingerprint(df).collect()[0]
+    b = textops.doc_fingerprint(df).collect()[0]
+    assert a == b
+    assert a["fp_full"] != a["fp_q1"]
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]), (4, [0.9, 0.05])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+           vectors.cosine_topk_bruteforce(df, n_queries=1, k=4).collect()}
+    # neighbors of vec 0 by cosine: 4 (~0.998... vs 1: 0.995) -> check order
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na / 1) / nb
+    order = sorted([1, 2, 3, 4],
+                   key=lambda i: (-cos(vecs[0][1], vecs[i][1]), i))
+    assert [got[(0, r)] for r in range(1, 5)] == order
+
+
+def test_lsh_codes_deterministic_and_bucketed(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist())
+            for i in range(50)]
+    # near-duplicate of vec 0
+    rows.append((99, [x * 1.001 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = {r["vec_id"]: r["code"] for r in vectors.lsh_codes(df, 8, 42).collect()}
+    c2 = {r["vec_id"]: r["code"] for r in vectors.lsh_codes(df, 8, 42).collect()}
+    assert c1 == c2                      # seeded determinism
+    assert c1[0] == c1[99]               # near-dup lands in the same bucket
+    pairs = {(r["a"], r["b"]) for r in
+             vectors.cosine_neardup_pairs(df, threshold=0.99, n_bits=8,
+                                          seed=42).collect()}
+    assert (0, 99) in pairs
+
+
+def test_multimodal_payload_and_features(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")],
+                               "doc_id long, text string")
+    media = multimodal.with_binary_payload(df)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert bytes(rows[1]["payload"]) == b"hello"
+    assert rows[1]["magic"] == b"hell".hex()
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(media, mode="fake").collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert len(feats[1]["feature"]) == 4
+    assert feats[2]["n_bytes"] == 0
+
+
+def test_multimodal_real_mode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "real")
