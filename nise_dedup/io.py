@@ -44,6 +44,12 @@ def write_stage(df: DataFrame, stage: str, ckpt: str, config_hash: str,
                 lineage: bool = True) -> str:
     sdir = _stage_dir(ckpt, stage)
     data = os.path.join(sdir, "data")
+    # invalidate FIRST: a rerun (e.g. under a new config hash) killed after
+    # the data overwrite but before the manifest replace must not leave the
+    # OLD manifest describing NEW partial data as complete
+    old_manifest = os.path.join(sdir, MANIFEST)
+    if os.path.exists(old_manifest):
+        os.remove(old_manifest)
     t0 = time.time()
     df.write.mode("overwrite").parquet(data)
     spark = df.sparkSession
@@ -84,9 +90,17 @@ def read_stage(spark: SparkSession, ckpt: str, stage: str) -> DataFrame:
 def run_stage(spark: SparkSession, ckpt: str, config_hash: str, stage: str,
               fn: Callable[[], DataFrame], lineage: bool = True) -> DataFrame:
     """F5 — resumable gate: skip + reload if the manifest says complete
-    under the same config hash; else compute, persist, publish manifest."""
+    under the same config hash AND the parquet row count reconciles with the
+    manifest (belt-and-braces vs out-of-band data corruption; the count is
+    footer-metadata-only so the check is cheap and runs only on resume);
+    else compute, persist, publish manifest."""
     if ckpt and stage_complete(ckpt, stage, config_hash):
-        return read_stage(spark, ckpt, stage)
+        try:
+            df = read_stage(spark, ckpt, stage)
+            if df.count() == read_manifest(ckpt, stage)["rows"]:
+                return df
+        except Exception:
+            pass   # unreadable/partial data -> recompute below
     df = fn()
     if not ckpt:
         return df

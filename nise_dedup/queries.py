@@ -549,10 +549,34 @@ FROM documents
 
 
 def q_multimodal_features(spark, sf_dir):
-    # deterministic fake decode -> rows-only (stubbed media decode)
+    # The deterministic fake decode (documents are pure ASCII, so the fake
+    # feature is SQL-reproducible byte math). The library keeps the
+    # array<double> feature column; the QUERY projects it to scalar columns
+    # because the driver's canonicalizer sorts every column with pandas and
+    # list cells are unhashable.
     from nise_dedup.multimodal import extract_features, with_binary_payload
     m = with_binary_payload(_t(spark, sf_dir, "documents"))
-    return extract_features(m, mode="fake")
+    f = extract_features(m, mode="fake")
+    return f.select(
+        "media_id", "n_bytes", "magic",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(4)])
+
+
+SQL_MM_FEAT = """
+SELECT doc_id AS media_id,
+       length(text)::BIGINT AS n_bytes,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic,
+       length(text)::DOUBLE AS f0,
+       (CASE WHEN length(text) >= 1
+             THEN ord(substring(text, 1, 1)) ELSE 0 END)::DOUBLE AS f1,
+       (CASE WHEN length(text) >= 8
+             THEN ord(substring(text, 8, 1)) ELSE 0 END)::DOUBLE AS f2,
+       (list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN i <= length(text)
+                      THEN ord(substring(text, i, 1)) ELSE 0 END))
+        % 997)::DOUBLE AS f3
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -602,6 +626,6 @@ REGISTRY: dict[str, tuple] = {
     "lsh_embedding_buckets": (q_lsh_embedding_buckets, None),
     "embedding_neardup": (q_embedding_neardup, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MM),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MM_FEAT),
     "dedup_documents": (q_dedup_documents, None),
 }

@@ -17,6 +17,7 @@ Cost shape (the part that matters at 10^12 files):
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -127,7 +128,12 @@ def _deep_mapper(cfg: DedupConfig):
                     ok[i] = jac[i] >= tau_j
                 if ok[i] or not lcs_on or est < lcs_gate:
                     continue
-                need = int(max(floor, ratio * min(len(ca), len(cb))))
+                # the pass rule is lcs_len >= max(floor, ratio*min_len) with
+                # a FLOAT rhs (the frozen oracle compares it unfloored), so
+                # the integer threshold is the ceiling, not the truncation:
+                # int() would accept lcs=614 when ratio*min_len=614.4
+                need = int(max(floor,
+                               math.ceil(ratio * min(len(ca), len(cb)))))
                 if min(len(ca), len(cb)) < need:
                     continue
                 # exact O(n) threshold decision; `passed` never needs the

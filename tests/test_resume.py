@@ -82,3 +82,51 @@ def test_corrupt_manifest_is_recomputed(spark, tmp_path):
     df = run_stage(spark, ckpt, "h", "s", lambda: spark.range(3))
     assert df.count() == 3
     assert json.load(open(os.path.join(ckpt, "s", "manifest.json")))["rows"] == 3
+
+
+def test_killed_rerun_does_not_resurrect_old_manifest(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE round 1: a rerun under a NEW config hash killed after the data
+    overwrite but before the manifest publish must not leave the OLD
+    manifest describing the new partial data as complete."""
+    import pytest
+
+    import nise_dedup.io as io_mod
+
+    ckpt = str(tmp_path / "ck_kill")
+    run_stage(spark, ckpt, "hashA", "s", lambda: spark.range(4))
+    assert stage_complete(ckpt, "s", "hashA")
+
+    def boom(*a, **k):
+        raise RuntimeError("killed before manifest publish")
+
+    monkeypatch.setattr(io_mod.json, "dump", boom)
+    with pytest.raises(RuntimeError):
+        io_mod.write_stage(spark.range(2), "s", ckpt, "hashB")
+    monkeypatch.undo()
+    assert not stage_complete(ckpt, "s", "hashA")
+    assert not stage_complete(ckpt, "s", "hashB")
+    df = run_stage(spark, ckpt, "hashA", "s", lambda: spark.range(4))
+    assert df.count() == 4
+    assert stage_complete(ckpt, "s", "hashA")
+
+
+def test_row_count_mismatch_recomputed(spark, tmp_path):
+    """Resume gate reconciles the parquet row count against the manifest —
+    out-of-band data loss (a deleted part file) triggers recompute."""
+    import glob
+
+    ckpt = str(tmp_path / "ck_count")
+    calls = []
+
+    def make():
+        calls.append(1)
+        return spark.range(10).repartition(4)
+
+    run_stage(spark, ckpt, "h", "s", make)
+    parts = glob.glob(os.path.join(ckpt, "s", "data", "part-*"))
+    assert len(parts) >= 2
+    os.remove(parts[0])
+    df = run_stage(spark, ckpt, "h", "s", make)
+    assert len(calls) == 2
+    assert df.count() == 10

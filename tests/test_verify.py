@@ -100,3 +100,31 @@ def test_lcs_disabled(spark):
     cand = spark.createDataFrame([(3, 4)], "a long, b long")
     row = verify_pairs(cand, sigs, uniq, cfg).collect()[0]
     assert row["lcs_len"] == -1
+
+
+def test_lcs_threshold_boundary_parity():
+    """ADVICE round 1: the integer LCS threshold must be the CEILING of
+    ratio*min_len, matching the oracle's float comparison — a pair whose
+    LCS is int(ratio*min_len) but below the float value must NOT pass."""
+    import pandas as pd
+
+    from nise_dedup.verify import _deep_mapper
+
+    cfg = DedupConfig(normalize="none")
+    # min_len = 1024 -> ratio*min_len = 614.4 (fractional on purpose)
+    a614, b614 = "c" * 614 + "a" * 410, "c" * 614 + "b" * 410
+    a615, b615 = "c" * 615 + "a" * 409, "c" * 615 + "b" * 409
+    pdf = pd.DataFrame({
+        "a": [1, 3], "b": [2, 4],
+        # LCS band: >= tau_lcs_gate (0.35), < est_exact_gate (0.45)
+        "est": [0.40, 0.40],
+        "content_a": [a614, a615],
+        "content_b": [b614, b615]})
+    out = pd.concat(list(_deep_mapper(cfg)(iter([pdf]))))
+    got = dict(zip(out["a"], out["deep_pass"]))
+    # oracle formula: lcs_len >= max(floor, ratio * min_len) as floats
+    assert bool(got[1]) is (614 >= max(cfg.tau_lcs_min_bytes,
+                                       cfg.tau_lcs_ratio * 1024))  # False
+    assert bool(got[3]) is (615 >= max(cfg.tau_lcs_min_bytes,
+                                       cfg.tau_lcs_ratio * 1024))  # True
+    assert not got[1] and got[3]
