@@ -57,19 +57,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         counts[name] = thunk()
         timings[name] = round(time.time() - t0, 3)
 
+    def run_release(corpus, rcfg):
+        res = run_pipeline(spark, corpus, rcfg, collect_metrics=False)
+        n = res.clusters.count()
+        res.release()      # free stage caches between headline runs
+        return n
+
     # flagship: end-to-end near-dup dedup of the documents corpus
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    timed("dedup_documents", lambda: run_pipeline(
-        spark, docs_as_corpus(spark, sf_dir), cfg,
-        collect_metrics=False).clusters.count())
+    timed("dedup_documents",
+          lambda: run_release(docs_as_corpus(spark, sf_dir), cfg))
 
     # synthetic code corpus with real duplicate structure (5k files)
     code_rows = C.generate("small", seed=42)
     code_df = spark.createDataFrame(C.to_pandas(code_rows)).persist()
     code_df.count()
-    timed("dedup_corpus5k", lambda: run_pipeline(
-        spark, code_df, DedupConfig(shuffle_partitions=cfg.shuffle_partitions),
-        collect_metrics=False).clusters.count())
+    timed("dedup_corpus5k", lambda: run_release(
+        code_df, DedupConfig(shuffle_partitions=cfg.shuffle_partitions)))
 
     # operator headline set (from the driver-contract registry)
     for qname in ["s234_signatures", "a1_pricing_summary", "l4_region_revenue",

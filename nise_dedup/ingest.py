@@ -34,9 +34,11 @@ def with_file_id(df: DataFrame) -> DataFrame:
 
     xxhash64 is stable across runs/partitionings, unlike
     monotonically_increasing_id — resumability and oracle-recall comparisons
-    both depend on this. Collision probability at 10^12 rows is ~2.7e-2 per
-    birthday bound on 64 bits, so callers must run ``assert_unique_ids``
-    once per ingest (cheap agg) — on collision, fall back to the natural key.
+    both depend on this. At the 10^12-row target the 64-bit birthday bound
+    EXPECTS ~n^2/2^65 ~= 2.7e4 collisions (near-certain, not rare), so the
+    pipeline verifies uniqueness on every ingest (one agg) and falls back to
+    ``resolve_id_collisions`` — deterministic salted re-hash of the
+    colliding natural keys — when any are found.
     """
     return df.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
 
@@ -49,6 +51,37 @@ def assert_unique_ids(df: DataFrame) -> None:
     if row["n"] != row["d"]:
         raise RuntimeError(
             f"file_id collision: {row['n']} rows, {row['d']} distinct ids")
+
+
+def resolve_id_collisions(df: DataFrame, max_rounds: int = 3) -> DataFrame:
+    """F2 collision fallback: rows whose 64-bit id collides are re-keyed
+    with xxhash64(repo, path, commit, salt) — deterministic (depends only
+    on the natural key), so resume and recall comparisons stay stable.
+
+    Collisions are ~1e4 out of 1e12 rows, so the colliding-id table is tiny
+    and broadcast; each round is one map-side-partial groupBy plus a
+    broadcast join. Identical natural keys (true input duplicates) re-hash
+    to the same value every round and raise after ``max_rounds``.
+    """
+    for salt in range(1, max_rounds + 1):
+        dup_ids = (df.groupBy("file_id").agg(F.count("*").alias("c"))
+                   .where(F.col("c") > 1)
+                   .select("file_id", F.lit(True).alias("_dup")))
+        df = (df.join(F.broadcast(dup_ids), on="file_id", how="left")
+              .withColumn("file_id",
+                          F.when(F.col("_dup").isNotNull(),
+                                 F.xxhash64("repo", "path", "commit",
+                                            F.lit(salt)))
+                          .otherwise(F.col("file_id")))
+              .drop("_dup"))
+        row = df.agg(F.count("*").alias("n"),
+                     F.countDistinct("file_id").alias("d")).first()
+        if row["n"] == row["d"]:
+            return df
+    raise RuntimeError(
+        "file_id collisions persist after salted re-hash: the corpus "
+        "contains rows with identical (repo, path, commit) natural keys — "
+        "dedupe the input before ingest")
 
 
 def with_sha(df: DataFrame) -> DataFrame:
@@ -92,14 +125,20 @@ def collapse_exact(files: DataFrame) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
-def uniq_with_content(files: DataFrame) -> DataFrame:
+def uniq_with_content(hashed: DataFrame) -> DataFrame:
     """The `uniq` relation (SURVEY §1.2): canonical rows with content,
-    ready for the signature stage. Join back on (sha, file_id) is a cheap
-    semi-style join; content never shuffles more than once.
+    ready for the signature stage — ONE hash aggregate over the hashed
+    ingest relation. Map-side partial aggregation keeps a single content
+    value per sha per map task, so content shuffles at most once and never
+    joins (the round-1 formulation was a groupBy PLUS a join back).
+    min(file_id) is the deterministic canonical representative; content and
+    n_bytes are constant within a sha group, so first() is deterministic.
     """
-    reps = collapse_exact(files).select("content_sha256", "file_id")
-    return (files
-            .join(reps, on=["content_sha256", "file_id"], how="inner")
+    return (hashed
+            .groupBy("content_sha256")
+            .agg(F.min("file_id").alias("file_id"),
+                 F.first("content").alias("content"),
+                 F.first("n_bytes").alias("n_bytes"))
             .select("file_id", "content_sha256", "content", "n_bytes"))
 
 

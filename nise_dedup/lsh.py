@@ -85,11 +85,46 @@ def bucket_metrics(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
                  F.max("cnt").alias("max_bucket_size")))
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def cross_rep_pairs(salted: DataFrame) -> DataFrame:
+    """Cross-salt connectivity pairs: the min-file_id representative of each
+    salted sub-bucket, all-pairs across the <= nsplits reps of a bucket.
+    These are the pairs salted-bucket recall DEPENDS on (if a rep pair fails
+    verification, true dups split across salts never union) — so the
+    pipeline also measures their verification outcome (rep_pair_health)."""
+    reps = (salted.where(F.col("nsplits") > 1)
+            .groupBy("band_id", "band_key", "salt")
+            .agg(F.min("file_id").alias("rep")))
+    rkey = ["band_id", "band_key"]
+    rl = reps.select(*rkey, F.col("rep").alias("a"))
+    rr = reps.select(*rkey, F.col("rep").alias("b"))
+    return (rl.join(rr, on=rkey)
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b"))
+
+
+def rep_pair_health(cross: DataFrame, verified: DataFrame) -> DataFrame:
+    """Observability for the salting recall risk (ADVICE round 1): how many
+    cross-salt representative pairs exist, and how many FAILED verification
+    (a failed rep pair can disconnect true dups split across salts of a
+    heterogeneous capped bucket). One small join + agg; only computed for
+    metrics, never on the hot path."""
+    j = (cross.dropDuplicates(["a", "b"])
+         .join(verified.select("a", "b", "passed"), on=["a", "b"],
+               how="left"))
+    failed = ~F.coalesce(F.col("passed"), F.lit(False))
+    return j.agg(
+        F.count("*").alias("n_rep_pairs"),
+        F.sum(failed.cast("long")).alias("n_rep_pairs_failed"))
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
+                    handles: list | None = None) -> DataFrame:
     """L3 — distinct candidate pairs (a < b) from salted buckets.
 
     Equi-self-join on the salted key; AQE handles residual imbalance.
     Cross-salt connectivity restored via representative pairs.
+    ``handles``: internal persisted DataFrames are appended here so the
+    caller can unpersist them once the pair table is materialized.
     """
     # the within-salt self-join reads this TWICE (left/right) and the
     # representative pass a third time: persist EAGERLY — a lazy persist
@@ -97,6 +132,8 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     # recomputes the window-count shuffle
     salted = salted_buckets(bands, cfg).persist()
     salted.count()
+    if handles is not None:
+        handles.append(salted)
 
     key = ["band_id", "band_key", "salt"]
     left = salted.select(*key, F.col("file_id").alias("a"))
@@ -105,14 +142,4 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
               .where(F.col("a") < F.col("b"))
               .select("a", "b"))
 
-    reps = (salted.where(F.col("nsplits") > 1)
-            .groupBy("band_id", "band_key", "salt")
-            .agg(F.min("file_id").alias("rep")))
-    rkey = ["band_id", "band_key"]
-    rl = reps.select(*rkey, F.col("rep").alias("a"))
-    rr = reps.select(*rkey, F.col("rep").alias("b"))
-    cross = (rl.join(rr, on=rkey)
-             .where(F.col("a") < F.col("b"))
-             .select("a", "b"))
-
-    return within.unionByName(cross).dropDuplicates(["a", "b"])
+    return within.unionByName(cross_rep_pairs(salted)).dropDuplicates(["a", "b"])

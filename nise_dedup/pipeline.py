@@ -2,24 +2,39 @@
 verify → cluster → publish, each stage wrapped in the resumable gate (io.py).
 
 Shuffle discipline notes (the 100-TB design, SURVEY §4):
+- The SOURCE is scanned — and sha256-hashed — exactly once: the `ingest`
+  stage carries ids + shas + content; `files` is a column-pruned projection
+  of it (metadata consumers never touch content pages), and `uniq` collapses
+  from the same relation with a single hash aggregate. (Round 1 re-scanned
+  and re-hashed the corpus for `files` and `uniq` separately — 2 full
+  content scans and 2x sha256 CPU at 100 TB.) The trade: the ingest stage
+  checkpoint stores content once more; against a remote production table,
+  one local stage write is cheaper than a second full remote scan + hash.
 - `content` is shuffled exactly once (the uniq collapse); signatures, bands,
   pairs and clustering shuffle only ids + fixed-width sketches. The LCS
   residue re-joins content for the (small) set of gated pairs only.
 - Stage checkpoints mean each shuffle's input is a pruned columnar parquet,
   and a resumed run replays nothing upstream of the first incomplete stage.
+- Every persist this run creates is tracked: internal helper caches are
+  unpersisted as soon as their consumer stage materializes, and
+  ``PipelineResult.release()`` frees the stage caches when the caller is
+  done (repeated runs in one session no longer accumulate storage).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nise_dedup import cc, ingest, lsh, verify
 from nise_dedup.config import DedupConfig
-from nise_dedup.io import run_stage, write_stage
+from nise_dedup.io import read_stage, run_stage, write_stage
 from nise_dedup.signatures import compute_signatures
+
+FILES_COLS = ["file_id", "repo", "path", "commit", "lang",
+              "content_sha256", "n_bytes"]
 
 
 def ensure_min_partitions(df: DataFrame, n: int) -> DataFrame:
@@ -39,6 +54,18 @@ class PipelineResult:
     clusters_uniq: DataFrame   # per canonical content: file_id, cluster_id
     verified_pairs: DataFrame
     metrics: dict
+    stages: dict = field(default_factory=dict)   # name -> stage DataFrame
+    _persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every cached stage this run created (no-checkpoint
+        mode). Downstream DataFrames stay valid — they just recompute."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,
@@ -47,6 +74,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
                  collect_metrics: bool = True) -> PipelineResult:
     cfg = cfg or DedupConfig()
     ch = cfg.config_hash()
+    stage_caches: list[DataFrame] = []   # released by PipelineResult.release
+    internals: list[DataFrame] = []      # released as soon as consumed
 
     def gate(name, fn, lineage=True):
         if ckpt:
@@ -56,33 +85,61 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         # lazy persist races cold inside the first multi-branch action)
         df = fn().persist()
         df.count()
+        stage_caches.append(df)
         return df
 
-    # --- ingest: ids + shas; content NOT persisted here (only uniq persists
-    # content, once, deduplicated) ---
-    def _files():
-        df = ingest.basic_filters(corpus, cfg)
-        df = ingest.with_sha(ingest.with_file_id(df))
-        return df.select("file_id", "repo", "path", "commit", "lang",
-                         "content_sha256", "n_bytes")
-    files = gate("files", _files)
+    def drain_internals():
+        for h in internals:
+            h.unpersist()
+        internals.clear()
 
-    def _uniq():
+    # --- ingest: ONE scan of the source computes ids + shas and carries
+    # content; everything downstream derives from this stage ---
+    def _ingest():
         df = ingest.basic_filters(corpus, cfg)
         df = ingest.with_sha(ingest.with_file_id(df))
-        return ensure_min_partitions(ingest.uniq_with_content(df),
-                                     cfg.shuffle_partitions)
-    uniq = gate("uniq", _uniq)
+        return ensure_min_partitions(
+            df.select(*FILES_COLS, "content"), cfg.shuffle_partitions)
+    hashed = gate("ingest", _ingest)
+
+    # F2 uniqueness enforcement (one cheap agg over the persisted stage);
+    # on the birthday-bound collision path, deterministically re-salt the
+    # colliding keys and republish the stage so resume sees resolved ids
+    row = hashed.agg(F.count("*").alias("n"),
+                     F.countDistinct("file_id").alias("d")).first()
+    n_files = row["n"]
+    if row["n"] != row["d"]:
+        resolved = ingest.resolve_id_collisions(hashed)
+        if ckpt:
+            write_stage(resolved, "ingest", ckpt, ch)
+            hashed = read_stage(spark, ckpt, "ingest")
+        else:
+            old = hashed
+            hashed = resolved.persist()
+            hashed.count()
+            stage_caches.append(hashed)
+            old.unpersist()
+            stage_caches.remove(old)
+
+    # `files` is a projection, not a stage: column pruning on the ingest
+    # checkpoint/cache means metadata consumers never read content
+    files = hashed.select(*FILES_COLS)
+
+    uniq = gate("uniq", lambda: ingest.uniq_with_content(hashed))
 
     signatures = gate("signatures", lambda: compute_signatures(uniq, cfg))
 
     def _cand():
         bands = lsh.explode_bands(signatures)
-        return lsh.candidate_pairs(bands, cfg)
+        return lsh.candidate_pairs(bands, cfg, handles=internals)
     cand = gate("cand_pairs", _cand)
+    drain_internals()   # salted-bucket cache: consumed once cand is real
 
-    verified = gate("verified_pairs",
-                    lambda: verify.verify_pairs(cand, signatures, uniq, cfg))
+    verified = gate(
+        "verified_pairs",
+        lambda: verify.verify_pairs(cand, signatures, uniq, cfg,
+                                    handles=internals))
+    drain_internals()   # pair-metadata cache: consumed once verified is real
 
     clusters_uniq = gate(
         "clusters_uniq",
@@ -92,21 +149,36 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         return ingest.expand_exact(clusters_uniq, files)
     clusters = gate("clusters", _publish)
 
-    metrics = {"config_hash": ch}
+    metrics = {"config_hash": ch, "n_files": n_files}
+    health = None
+    if collect_metrics or ckpt:
+        bands = lsh.explode_bands(signatures)
+        health = lsh.rep_pair_health(
+            lsh.cross_rep_pairs(lsh.salted_buckets(bands, cfg)), verified)
     if collect_metrics:
+        hrow = health.first()
         metrics.update({
-            "n_files": files.count(),
             "n_uniq": uniq.count(),
             "n_cand_pairs": cand.count(),
             "n_verified_pairs": verified.where("passed").count(),
             "n_clusters": clusters_uniq.select("cluster_id").distinct().count(),
+            "n_rep_pairs": hrow["n_rep_pairs"],
+            "n_rep_pairs_failed": hrow["n_rep_pairs_failed"] or 0,
         })
     if ckpt:
         bands = lsh.explode_bands(signatures)
         write_stage(lsh.bucket_metrics(bands, cfg), "bucket_metrics",
                     ckpt, ch, lineage=False)
+        write_stage(health, "rep_pair_health", ckpt, ch, lineage=False)
     return PipelineResult(clusters=clusters, clusters_uniq=clusters_uniq,
-                          verified_pairs=verified, metrics=metrics)
+                          verified_pairs=verified, metrics=metrics,
+                          stages={"ingest": hashed, "uniq": uniq,
+                                  "signatures": signatures,
+                                  "cand_pairs": cand,
+                                  "verified_pairs": verified,
+                                  "clusters_uniq": clusters_uniq,
+                                  "clusters": clusters},
+                          _persisted=stage_caches)
 
 
 def assert_sha_invariant(corpus: DataFrame, clusters: DataFrame) -> None:

@@ -155,13 +155,16 @@ def _deep_mapper(cfg: DedupConfig):
 
 
 def verify_pairs(cand: DataFrame, signatures: DataFrame,
-                 uniq: DataFrame, cfg: DedupConfig) -> DataFrame:
+                 uniq: DataFrame, cfg: DedupConfig,
+                 handles: list | None = None) -> DataFrame:
     """V4 — cascade (see DedupConfig). Returns
     DF[a, b, est, jaccard, hamming, lcs_len, passed];
     jaccard/lcs_len = -1 where the cascade never computed them.
 
     ``signatures`` must carry (file_id, simhash, minhash, n_bytes);
     ``uniq`` carries (file_id, content) for the deep residue only.
+    ``handles``: internal persisted DataFrames are appended here so the
+    caller can unpersist them once the verified table is materialized.
     """
     m_eff = min(cfg.est_components, cfg.num_perm)
     meta_a = signatures.select(F.col("file_id").alias("a"),
@@ -184,6 +187,8 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
             .select("a", "b", "est", "hamming", "len_a", "len_b")
             .persist())
     meta.count()   # eager: three consumers below; lazy persist would race
+    if handles is not None:
+        handles.append(meta)
 
     # deep residue: hamming failed, est below the near-certain accept, AND
     # est clears a gate; the LCS-only band (est in [lcs_gate, exact_gate))

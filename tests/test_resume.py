@@ -12,7 +12,7 @@ from nise_dedup.config import DedupConfig
 from nise_dedup.io import read_manifest, run_stage, stage_complete
 from nise_dedup.pipeline import run_pipeline
 
-STAGES = ["files", "uniq", "signatures", "cand_pairs",
+STAGES = ["ingest", "uniq", "signatures", "cand_pairs",
           "verified_pairs", "clusters_uniq", "clusters"]
 
 
