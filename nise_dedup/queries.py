@@ -526,8 +526,13 @@ def q_lsh_embedding_buckets(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    # banded + salted + capped scale path; the sf embeddings are near-random
+    # (max pair cosine ~0.5) so the threshold is low to exercise the path;
+    # recall/linearity contracts are asserted on planted duplicates in
+    # tests/test_vectors.py
     return vectors.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                        threshold=0.2, n_bits=6, seed=42)
+                                        threshold=0.2, tables=8, bits=4,
+                                        seed=42)
 
 
 # --------------------------------------------------------------------------
