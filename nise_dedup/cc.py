@@ -78,13 +78,21 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             F.bit_xor(F.xxhash64("src", "dst")).alias("h")).first()
         return (row["n"], row["h"])
 
-    edges = (edges.select("src", "dst")
-             .where(F.col("src") != F.col("dst"))
-             .distinct()
-             .localCheckpoint(eager=False))
+    # persist (NOT localCheckpoint) the cleaned input: the _sig action
+    # materializes the cache, iteration 1 reuses it, and — empirically, see
+    # tests/test_infra.py::test_cc_giant_star_stress — Spark 4.1.2's
+    # optimizer throws `NoSuchElementException: key not found: <attr>` when
+    # the star joins are planned directly over some union-of-projections
+    # input plans; planning over the InMemoryRelation sidesteps it.
+    base = (edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist())
+    edges = base
     prev = _sig(edges)
     if prev[0] == 0:
         spark = edges.sparkSession
+        base.unpersist()
         return spark.createDataFrame([], "node long, component long")
 
     it = 0
@@ -101,6 +109,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         edges, prev = nxt, cur
         if converged:
             break
+    base.unpersist()   # loop checkpoints carry the state from here on
     if not converged:
         raise RuntimeError(f"connected_components did not converge "
                            f"in {max_iter} iterations")

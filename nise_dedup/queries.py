@@ -487,6 +487,31 @@ def q_doc_fingerprint(spark, sf_dir):
     return textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_t4_fingerprint_sha_equiv(spark, sf_dir):
+    """T4 exact check via an invariant DuckDB CAN verify: the xxhash64
+    fingerprint must partition documents exactly as sha256 does (equal text
+    <=> equal fingerprint, no in-corpus collisions), so the distinct counts
+    coincide. The oracle computes both columns from sha256; any fingerprint
+    collision or instability breaks the hash match."""
+    d = _t(spark, sf_dir, "documents")
+    fp = textops.doc_fingerprint(d)
+    j = d.select("doc_id", F.sha2("text", 256).alias("sha")).join(
+        fp, on="doc_id")
+    return j.agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("sha").alias("n_distinct_sha"),
+                 F.countDistinct("fp_full").alias("n_distinct_fp"),
+                 F.countDistinct("sha", "fp_full").alias("n_distinct_pairs"))
+
+
+SQL_T4_EQUIV = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT sha256(text)) AS n_distinct_sha,
+       count(DISTINCT sha256(text)) AS n_distinct_fp,
+       count(DISTINCT sha256(text)) AS n_distinct_pairs
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -627,6 +652,7 @@ REGISTRY: dict[str, tuple] = {
     "token_quality": (q_token_quality, SQL_QUALITY),
     "lang_markers": (q_lang_markers, SQL_LANG),
     "doc_fingerprint": (q_doc_fingerprint, None),
+    "t4_fingerprint_sha_equiv": (q_t4_fingerprint_sha_equiv, SQL_T4_EQUIV),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
     "lsh_embedding_buckets": (q_lsh_embedding_buckets, None),
     "embedding_neardup": (q_embedding_neardup, None),

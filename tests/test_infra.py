@@ -1,0 +1,125 @@
+"""Infrastructure contracts (VERDICT round 1 gaps): spark-submit packaging
+smoke (CLI run+resume from the zip artifact), the Iceberg format seam,
+parquet filter pushdown / column pruning plan assertions, and a
+giant-component CC stress test."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nise_dedup import corpus as C
+from nise_dedup import ingest
+from nise_dedup.config import DedupConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_zip(dest: str) -> str:
+    """Fresh --py-files artifact from the current source tree (the same
+    layout scripts/package.sh ships)."""
+    zpath = os.path.join(dest, "nise_dedup.zip")
+    pkg = os.path.join(REPO, "nise_dedup")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.slow
+def test_cli_run_and_resume_from_zip(tmp_path):
+    """BASELINE packaging contract: `python -m nise_dedup.cli run` driven
+    PURELY from the zip artifact (cwd outside the repo so the package can
+    only come from the zip), then `resume`, which must skip all completed
+    stages (manifests byte-identical) and reproduce the output."""
+    zpath = _build_zip(str(tmp_path))
+    src = str(tmp_path / "corpus.parquet")
+    C.to_pandas(C.generate("tiny", 42)).to_parquet(src)
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ, PYTHONPATH=zpath)
+
+    def run(cmd, out):
+        p = subprocess.run(
+            [sys.executable, "-m", "nise_dedup.cli", cmd,
+             "--input", src, "--output", out, "--checkpoint", ckpt,
+             "--master", "local[2]",
+             "--config", '{"shuffle_partitions": 4}'],
+            env=env, cwd=str(tmp_path), capture_output=True, text=True)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    m1 = run("run", out1)
+    assert m1["n_files"] == 200
+    sig_manifest = open(os.path.join(ckpt, "signatures",
+                                     "manifest.json")).read()
+    m2 = run("resume", out2)
+    assert m2["n_clusters"] == m1["n_clusters"]
+    # resume did NOT recompute completed stages
+    assert open(os.path.join(ckpt, "signatures",
+                             "manifest.json")).read() == sig_manifest
+
+
+def test_iceberg_seam(spark):
+    """SURVEY §7.4: the production Iceberg branch of read_corpus is
+    exercised up to the DataSource lookup; with no Iceberg runtime jar in
+    the sandbox the lookup must fail mentioning iceberg (not silently fall
+    back to parquet), and the test skips."""
+    try:
+        df = ingest.read_corpus(spark, "db.nonexistent_table", fmt="iceberg")
+    except Exception as e:  # noqa: BLE001 - any Spark analysis error
+        assert "iceberg" in str(e).lower()
+        pytest.skip("no Iceberg runtime jar in this sandbox (expected)")
+    assert df.columns == ingest.CORPUS_COLS   # runtime present: real check
+
+
+def test_filter_pushdown_and_column_pruning(spark, tmp_path):
+    """README claim, made checkable: ingest hygiene filters reach the
+    parquet scan (PushedFilters) and metadata-only projections prune
+    content from the read schema."""
+    src = str(tmp_path / "c.parquet")
+    C.to_pandas(C.generate("tiny", 42)).to_parquet(src)
+    filtered = ingest.basic_filters(ingest.read_corpus(spark, src),
+                                    DedupConfig())
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(content)" in plan
+
+    meta_only = ingest.read_corpus(spark, src).select("repo", "lang")
+    mplan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<repo:string,lang:string>" in mplan
+    assert "content" not in mplan.split("ReadSchema:")[1]
+
+
+@pytest.mark.slow
+def test_cc_giant_star_stress(spark):
+    """One 100k-leaf star plus random noise edges: must converge within
+    O(log n) rounds (max_iter=14 would raise otherwise) and label every
+    star node with the hub's id — the giant-component shape that breaks
+    naive label propagation."""
+    from nise_dedup.cc import connected_components
+
+    star = spark.range(1, 100_001).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst"))
+    noise = spark.range(50_000).select(
+        (F.lit(200_000) + F.pmod(F.xxhash64("id"), F.lit(20_000)))
+        .alias("src"),
+        (F.lit(200_000) + F.pmod(F.xxhash64(F.col("id") + 7),
+                                 F.lit(20_000))).alias("dst"))
+    edges = star.unionByName(noise)
+    comp = connected_components(edges, max_iter=14)
+    star_labels = (comp.where(F.col("node") <= 100_000)
+                   .select("component").distinct().collect())
+    assert [r["component"] for r in star_labels] == [0]
+    assert comp.where(F.col("node") <= 100_000).count() == 100_001
