@@ -101,22 +101,36 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
-def run_dedup_only(corpus_path: str, cpus: int) -> dict:
+def run_dedup_only(corpus_path: str, cpus: int, ckpt: str = "") -> dict:
     """Time ONLY the end-to-end dedup pipeline over a corpus parquet —
-    the scaling-evidence job (compute-dominated at 50k files)."""
+    the scaling-evidence job. With ``ckpt``, stage manifests record
+    per-stage wall time for scaling attribution (the checkpoint writes add
+    I/O, so instrumented runs are reported separately, never in the
+    headline medians)."""
     spark, cfg = _build(cpus)
     from nise_dedup.ingest import read_corpus
+    from nise_dedup.io import read_manifest
     from nise_dedup.pipeline import run_pipeline
 
     corpus = read_corpus(spark, corpus_path).persist()
     n = corpus.count()          # warm: JVM + input cached out of the timing
     t0 = time.time()
-    res = run_pipeline(spark, corpus, cfg, collect_metrics=False)
+    res = run_pipeline(spark, corpus, cfg, ckpt=ckpt, collect_metrics=False)
     n_out = res.clusters.count()
     wall = time.time() - t0
+    out = {"files": n, "rows_out": n_out, "wall_s": round(wall, 2),
+           "files_per_sec": round(n / wall, 1), "cpus": cpus}
+    if ckpt:
+        stages = {}
+        for s in ["ingest", "uniq", "signatures", "cand_pairs",
+                  "verified_pairs", "clusters_uniq", "clusters"]:
+            try:
+                stages[s] = read_manifest(ckpt, s)["wall_s"]
+            except Exception:
+                stages[s] = None
+        out["stage_wall_s"] = stages
     spark.stop()
-    return {"files": n, "rows_out": n_out, "wall_s": round(wall, 2),
-            "files_per_sec": round(n / wall, 1), "cpus": cpus}
+    return out
 
 
 def _read_steal() -> int:
@@ -134,32 +148,49 @@ def _burn(_):
     return i
 
 
-def _raw_cpu_ceiling(n_lo: int, n_hi: int) -> float:
-    """Pure-Python busy-loop aggregate throughput ratio n_lo -> n_hi
-    processes: the MACHINE's best-achievable scaling (this VM's 32 vCPUs
-    are SMT/steal-limited well below 32 physical cores)."""
+def _matmul(_):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((384, 384))
+    t0 = time.time()
+    i = 0
+    while time.time() - t0 < 2.0:
+        a @ a
+        i += 1
+    return i
+
+
+def _raw_cpu_ceiling(n_lo: int, n_hi: int, fn=_burn) -> float:
+    """Aggregate-throughput ratio of n_lo -> n_hi worker processes running
+    ``fn`` busy loops: the MACHINE's best-achievable scaling for that
+    workload class (this VM's 32 vCPUs are SMT/steal-limited well below 32
+    physical cores). _burn = pure-Python ALU; _matmul = NumPy GEMM, the
+    memory-bandwidth-sensitive analogue of the signature stage."""
     import multiprocessing as mp
 
     rates = {}
     for procs in (n_lo, n_hi):
         with mp.Pool(procs) as p:
-            rates[procs] = sum(p.map(_burn, range(procs)))
+            rates[procs] = sum(p.map(fn, range(procs)))
     return rates[n_hi] / rates[n_lo]
 
 
 def _scaling(sf_dir: str) -> None:
-    """N=4 vs 4N=16 cores on identical input — the sandbox stand-in for
-    N vs 4N executors (BASELINE.md). Fresh subprocess per run; three runs
-    per level, INTERLEAVED (ABAB…) with per-run hypervisor steal-time
-    deltas recorded, medians reported — this VM's vCPUs are noisy (variable
-    steal) and 32 vCPUs deliver only ~3x the aggregate compute of 8 (SMT +
-    host oversubscription), so 4->16 is the largest honest 4x pair; the
-    raw-CPU ceiling is measured and reported alongside."""
+    """Driver-protocol scaling evidence: the SAME dedup job on the SAME
+    input at local[8] vs local[32] (the sandbox stand-in for N vs 4N
+    executor cluster sizes), >= 5 interleaved fresh-JVM runs per level with
+    per-run hypervisor steal deltas, medians; plus per-stage wall
+    attribution from one instrumented (checkpointed) run per level and two
+    machine ceilings (pure-ALU busy loop and NumPy GEMM). Writes
+    BENCH/BASELINE.md."""
+    import multiprocessing
+    import shutil
     import statistics
+    import tempfile
 
     import nise_dedup.corpus as C
 
-    size = os.environ.get("NISE_SCALING_SIZE", "xl")
+    size = os.environ.get("NISE_SCALING_SIZE", "bench")
     corpus_path = f"/tmp/nise_bench/corpus_{size}.parquet"
     if not os.path.exists(corpus_path):
         os.makedirs(os.path.dirname(corpus_path), exist_ok=True)
@@ -167,75 +198,138 @@ def _scaling(sf_dir: str) -> None:
         C.to_pandas(C.generate(size, 42)).to_parquet(
             corpus_path, row_group_size=2000)
 
-    n_lo = int(os.environ.get("NISE_SCALING_N", "2"))
-    n_hi, reps = 4 * n_lo, 3
-    ceiling = _raw_cpu_ceiling(n_lo, n_hi)   # first: cheap, fails fast
+    n_lo = int(os.environ.get("NISE_SCALING_N", "8"))
+    n_hi = 4 * n_lo
+    reps = int(os.environ.get("NISE_SCALING_REPS", "5"))
+    ceil_alu = _raw_cpu_ceiling(n_lo, n_hi, _burn)
+    ceil_gemm = _raw_cpu_ceiling(n_lo, n_hi, _matmul)
+
+    def one_run(cpus: int, ckpt: str = "") -> dict:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        args = [sys.executable, os.path.abspath(__file__),
+                "--dedup-only", corpus_path]
+        if ckpt:
+            args += ["--ckpt", ckpt]
+        s0 = _read_steal()
+        out = subprocess.run(args, env=env, capture_output=True, text=True,
+                             check=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["steal_jiffies"] = _read_steal() - s0
+        return r
+
     runs: dict[int, list] = {n_lo: [], n_hi: []}
     for _ in range(reps):
-        for cpus in (n_lo, n_hi):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-            s0 = _read_steal()
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--dedup-only", corpus_path],
-                env=env, capture_output=True, text=True, check=True)
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            r["steal_jiffies"] = _read_steal() - s0
-            runs[cpus].append(r)
+        for cpus in (n_lo, n_hi):          # interleaved ABAB...
+            runs[cpus].append(one_run(cpus))
 
-    med_lo = statistics.median(r["files_per_sec"] for r in runs[n_lo])
-    med_hi = statistics.median(r["files_per_sec"] for r in runs[n_hi])
-    eff = (med_hi / med_lo) / (n_hi / n_lo)
-    os.makedirs("BENCH", exist_ok=True)
-    import multiprocessing
+    # per-stage attribution: one instrumented run per level (ckpt writes
+    # add parquet I/O -> reported separately, never in the medians)
+    stage_runs: dict[int, dict] = {}
+    for cpus in (n_lo, n_hi):
+        ck = tempfile.mkdtemp(prefix=f"nise_scale_ck{cpus}_")
+        stage_runs[cpus] = one_run(cpus, ckpt=ck)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    med = {c: statistics.median(r["files_per_sec"] for r in runs[c])
+           for c in runs}
+    eff = (med[n_hi] / med[n_lo]) / (n_hi / n_lo)
+    norm_alu = eff / (ceil_alu / 4.0) if ceil_alu else float("nan")
 
     def fmt(cpus):
-        return ", ".join(f"{r['wall_s']}s ({r['files_per_sec']} f/s, "
-                         f"steal {r['steal_jiffies']})" for r in runs[cpus])
+        return "<br>".join(f"{r['wall_s']}s ({r['files_per_sec']} f/s, "
+                           f"steal {r['steal_jiffies']})"
+                           for r in runs[cpus])
 
+    stage_names = list((stage_runs[n_lo].get("stage_wall_s") or {}))
+    stage_rows = []
+    for s in stage_names:
+        lo = stage_runs[n_lo]["stage_wall_s"].get(s)
+        hi = stage_runs[n_hi]["stage_wall_s"].get(s)
+        sp = (round(lo / hi, 2) if lo and hi else "-")
+        stage_rows.append(f"| {s} | {lo} | {hi} | {sp} |")
+    stage_table = "\n".join(stage_rows)
+
+    os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling evidence
 
-Protocol (BASELINE.md / driver prompt): the same job on the same input at
-two parallelism levels on one machine, standing in for N vs 4N executor
-cluster sizes. Job: end-to-end near-dup dedup
-(`nise_dedup.pipeline.run_pipeline`) over the deterministic
-{runs[n_lo][0]['files']}-file synthetic code corpus
-(`nise_dedup.corpus.generate('{size}', 42)`, planted duplicate classes).
-Fresh JVM per run; parquet read + cache excluded from timing; {reps} runs
-per level interleaved, medians reported.
+Protocol (BASELINE.json north rule + driver prompt): the same job on the
+same input at two parallelism levels on one machine, standing in for N vs
+4N executor cluster sizes — **local[{n_lo}] vs local[{n_hi}]**, the pair
+the protocol names. Job: end-to-end near-dup dedup
+(`nise_dedup.pipeline.run_pipeline`, collect_metrics=False) over the
+deterministic {runs[n_lo][0]['files']}-file synthetic code corpus
+(`nise_dedup.corpus.generate('{size}', 42)`, planted duplicate classes,
+row_group_size=2000 so the scan splits). Fresh JVM per run; parquet read +
+cache excluded from timing; {reps} runs per level, INTERLEAVED (ABAB...),
+medians reported; per-run hypervisor steal-time delta recorded (field 9 of
+/proc/stat line 1).
 
-Machine: {multiprocessing.cpu_count()} vCPUs on an oversubscribed
-hypervisor (nonzero, highly variable steal time — recorded per run below).
-A pure-CPU busy-loop microbenchmark measures the machine's best achievable
-{n_lo}->{n_hi}-process aggregate scaling at **{ceiling:.2f}x of 4.0x**
-(SMT + steal), which bounds any job's measurable efficiency; {n_lo} vs
-{n_hi} is the widest honest 4x pair (8->32 caps at ~3.0x raw).
+## Machine ceiling
+
+{multiprocessing.cpu_count()} vCPUs on an oversubscribed hypervisor with
+highly variable steal. Measured best-achievable {n_lo}->{n_hi}-process
+aggregate scaling (of the ideal 4.00x):
+
+| workload | {n_lo}->{n_hi} throughput ratio | as efficiency |
+|---|---|---|
+| pure-Python ALU busy loop | {ceil_alu:.2f}x | {ceil_alu / 4:.3f} |
+| NumPy 384x384 GEMM (memory-bandwidth-bound, like the signature stage) | {ceil_gemm:.2f}x | {ceil_gemm / 4:.3f} |
+
+No job on this box can measure above these; a real 4N-executor cluster
+adds memory bandwidth, cache, and shuffle capacity WITH the cores, which
+this single-box proxy cannot.
+
+## Measured job scaling
 
 | parallelism | runs (wall, throughput, steal) | median files/sec |
 |---|---|---|
-| local[{n_lo}]  (N)  | {fmt(n_lo)} | {med_lo} |
-| local[{n_hi}] (4N) | {fmt(n_hi)} | {med_hi} |
+| local[{n_lo}]  (N)  | {fmt(n_lo)} | {med[n_lo]} |
+| local[{n_hi}] (4N) | {fmt(n_hi)} | {med[n_hi]} |
 
-**Scaling efficiency (thr_{n_hi}/thr_{n_lo})/4 = {eff:.3f}**
-(contract target >= 0.8; machine raw-CPU ceiling {ceiling / 4:.3f}).
+**Scaling efficiency (thr_{n_hi}/thr_{n_lo})/4 = {eff:.3f}** (contract
+target >= 0.8 of ideal).
+**Machine-normalized efficiency = {eff:.3f} / {ceil_alu / 4:.3f}
+(ALU ceiling) = {norm_alu:.3f}.**
 
-Caveats: both levels share one JVM heap, one memory bus, one shuffle disk
-and the host's steal noise, so this proxy UNDERSTATES multi-executor
-scaling — a real 4N cluster adds memory bandwidth and shuffle capacity
-with the cores. The pipeline's shuffle payloads are deliberately
-fixed-width (ids + sketches; content only for the uniq collapse and the
-deep-verify residue), which is what governs scaling on a real cluster.
+## Per-stage wall attribution (one instrumented checkpointed run/level)
+
+Stage walls include the checkpoint parquet write (why the instrumented
+totals exceed the headline runs); speedup = wall_{n_lo}/wall_{n_hi}.
+
+| stage | local[{n_lo}] wall s | local[{n_hi}] wall s | speedup |
+|---|---|---|---|
+{stage_table}
+
+Instrumented totals: local[{n_lo}] {stage_runs[n_lo]['wall_s']}s,
+local[{n_hi}] {stage_runs[n_hi]['wall_s']}s.
+
+## Reading
+
+- The contract's two-cluster-size criterion cannot use a real cluster in
+  this sandbox; this is the prescribed proxy. Both levels share one JVM
+  heap, memory bus, shuffle disk and the host's steal noise, so the proxy
+  UNDERSTATES multi-executor scaling.
+- The pipeline's shuffle payloads are fixed-width (ids + sketches; content
+  shuffles once at the uniq collapse and joins once for the deep-verify
+  residue), which is what governs scaling on a real cluster.
+- Stages with speedup well below the ALU ceiling are the single-box
+  bottlenecks to watch: the iterative CC rounds (driver-synchronized
+  barriers, now batched 2 iterations/action) and the stage gates
+  (sequential materialization is the price of resumability).
 
 Full JSON:
 
 ```json
-{json.dumps(runs, indent=1)}
+{json.dumps({"runs": runs, "stage_runs": stage_runs,
+             "ceilings": {"alu": ceil_alu, "gemm": ceil_gemm}}, indent=1)}
 ```
 """)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      "ceiling_ratio": round(ceiling / 4, 3),
-                      "thr_lo": med_lo, "thr_hi": med_hi}))
+                      "ceiling_alu": round(ceil_alu / 4, 3),
+                      "ceiling_gemm": round(ceil_gemm / 4, 3),
+                      "normalized_efficiency": round(norm_alu, 3),
+                      "thr_lo": med[n_lo], "thr_hi": med[n_hi]}))
 
 
 if __name__ == "__main__":
@@ -243,6 +337,8 @@ if __name__ == "__main__":
         _scaling(SF_DIR)
     elif "--dedup-only" in sys.argv:
         path = sys.argv[sys.argv.index("--dedup-only") + 1]
-        print(json.dumps(run_dedup_only(path, CPUS)))
+        ck = (sys.argv[sys.argv.index("--ckpt") + 1]
+              if "--ckpt" in sys.argv else "")
+        print(json.dumps(run_dedup_only(path, CPUS, ckpt=ck)))
     else:
         print(json.dumps(run_bench(SF_DIR, CPUS)))

@@ -59,13 +59,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     that appears in an edge gets a row; nodes with no edges are their own
     component by definition (C2 handles them with a coalesce).
 
-    ``check_every``: iterations chained per convergence check. The check is
-    the loop's only driver action (it also materializes the lazy
-    localCheckpoint), so batching 2 iterations per action halves the
-    sequential job barriers — the round-1 serialization suspect at high
-    parallelism. Correct because large-star/small-star strictly decreases a
-    potential function (Kiveris et al. §3), so the map has no 2-cycles:
-    equal (count, xor-hash) across a batch implies the fixed point. Cost:
+    ``check_every``: iterations per convergence check. EVERY iteration is
+    still lazily localCheckpointed (the star DAG references its input ~6
+    times, so an un-truncated intermediate would replicate its subplan —
+    measured as a >20x slowdown), but the (count, xor-hash) signature
+    action runs only every ``check_every`` rounds, halving the sequential
+    driver barriers. Correct because large-star/small-star strictly
+    decreases a potential function (Kiveris et al. §3), so the map has no
+    2-cycles: equal signatures across a batch imply the fixed point. Cost:
     up to check_every-1 extra iterations over already-converged (tiny)
     edge sets.
     """
@@ -78,22 +79,29 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             F.bit_xor(F.xxhash64("src", "dst")).alias("h")).first()
         return (row["n"], row["h"])
 
-    # persist (NOT localCheckpoint) the cleaned input: the _sig action
-    # materializes the cache, iteration 1 reuses it, and — empirically, see
-    # tests/test_infra.py::test_cc_giant_star_stress — Spark 4.1.2's
-    # optimizer throws `NoSuchElementException: key not found: <attr>` when
-    # the star joins are planned directly over some union-of-projections
-    # input plans; planning over the InMemoryRelation sidesteps it.
+    # Input handling, both parts load-bearing:
+    # 1. persist the cleaned input — Spark 4.1.2's optimizer throws
+    #    `NoSuchElementException: key not found: <attr>` when the star
+    #    joins are planned over some raw union-of-projections plans
+    #    (tests/test_infra.py::test_cc_giant_star_stress); planning over
+    #    the InMemoryRelation sidesteps it;
+    # 2. then TRUNCATE the logical plan with an eager localCheckpoint
+    #    (computed from the cache, so it is one cheap pass): the star DAG
+    #    references its input several times per round, and optimizing that
+    #    DAG over a deep upstream lineage (the whole dedup pipeline) was
+    #    measured at ~29 s for round 0 on a 258-edge graph vs 1 s once
+    #    truncated.
     base = (edges.select("src", "dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .persist())
-    edges = base
-    prev = _sig(edges)
-    if prev[0] == 0:
-        spark = edges.sparkSession
+    n_edges = base.count()
+    if n_edges == 0:
+        spark = base.sparkSession
         base.unpersist()
         return spark.createDataFrame([], "node long, component long")
+    edges = base.localCheckpoint(eager=True)
+    prev = _sig(edges)
 
     it = 0
     converged = False
@@ -101,9 +109,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         steps = min(max(1, check_every), max_iter - it)
         nxt = edges
         for _ in range(steps):
-            nxt = _small_star(_large_star(nxt))
-        nxt = nxt.localCheckpoint(eager=False)
-        cur = _sig(nxt)   # the batch's ONE action: check + materialize ckpt
+            # lazy checkpoint EVERY round (plan truncation — the next
+            # round's multiple references share one RDD, materialized once
+            # by the batch's signature action below)
+            nxt = _small_star(_large_star(nxt)).localCheckpoint(eager=False)
+        cur = _sig(nxt)   # the batch's ONE action: check + materialize
         it += steps
         converged = cur == prev
         edges, prev = nxt, cur

@@ -54,6 +54,119 @@ def decode_stub(payload: bytes, mode: str):
             float(sum(head) % 997)]
 
 
+# --------------------------------------------------------------------------
+# REAL decoders for the two media containers parsable without codec libs:
+# uncompressed 24/32-bit BMP and PCM16 WAV (plain struct/NumPy header math).
+# Compressed formats (JPEG/PNG/MP3/...) still go through decode_stub — that
+# is where PIL/soundfile/ffmpeg plug in on a production cluster.
+# --------------------------------------------------------------------------
+
+def decode_bmp(b: bytes):
+    """Uncompressed 24/32-bit BMP -> [width, height, mean_b, mean_g, mean_r]
+    (BMP stores BGR, rows bottom-up, each row padded to 4 bytes).
+    Returns None if not a decodable BMP."""
+    import struct
+
+    import numpy as np
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32) or w <= 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    bypp = bpp // 8
+    stride = ((w * bypp + 3) // 4) * 4
+    need = data_off + stride * h
+    if len(b) < need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, offset=data_off,
+                       count=stride * h).reshape(h, stride)
+    px = px[:, :w * bypp].reshape(h, w, bypp)[:, :, :3]   # drop pad + alpha
+    if not top_down:
+        px = px[::-1]
+    means = px.reshape(-1, 3).mean(axis=0)
+    return [float(w), float(h),
+            float(means[0]), float(means[1]), float(means[2])]
+
+
+def decode_wav(b: bytes):
+    """PCM16 WAV -> [sample_rate, n_channels, n_frames, rms, peak]
+    (RIFF chunk walk; no codec libs). Returns None if not decodable PCM16."""
+    import struct
+
+    import numpy as np
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos:pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)           # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    samples = np.frombuffer(data, dtype="<i2",
+                            count=len(data) // 2).astype(np.float64)
+    n_frames = len(samples) // channels
+    if n_frames == 0:
+        return None
+    rms = float(np.sqrt(np.mean(samples * samples)))
+    return [float(rate), float(channels), float(n_frames), rms,
+            float(np.max(np.abs(samples)))]
+
+
+def decode_media(b: bytes) -> tuple[str, list]:
+    """Dispatch: ('bmp'|'wav', real features) for the header-parsable
+    formats, ('unknown', []) otherwise. Pure Python + NumPy — this is the
+    REAL decode path, not a stub."""
+    out = decode_bmp(b)
+    if out is not None:
+        return "bmp", out
+    out = decode_wav(b)
+    if out is not None:
+        return "wav", out
+    return "unknown", []
+
+
+MEDIA_FEATURE_SCHEMA = ("media_id long, kind string, f0 double, f1 double, "
+                        "f2 double, f3 double, f4 double")
+
+
+def _media_feature_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        kinds, feats = [], []
+        for payload in pdf["payload"]:
+            kind, f = decode_media(bytes(payload))
+            kinds.append(kind)
+            feats.append((f + [None] * 5)[:5])
+        cols = list(zip(*feats)) if feats else [[]] * 5
+        yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),
+                            "kind": kinds,
+                            **{f"f{i}": pd.Series(cols[i], dtype="float64")
+                               for i in range(5)}})
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """REAL media decode / feature extraction over Arrow batches for the
+    formats decodable without codec libs (BMP pixel stats, WAV sample
+    stats); other payloads pass through with kind='unknown'. Same
+    plumbing pattern as extract_features: prune to (media_id, payload)
+    before the Python exchange, scalar feature columns out."""
+    return (media.select("media_id", "payload")
+            .mapInPandas(_media_feature_mapper, schema=MEDIA_FEATURE_SCHEMA))
+
+
 def _feature_mapper(mode: str):
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -82,9 +82,9 @@ def test_lsh_codes_deterministic_and_bucketed(spark):
     assert c1 == c2                      # seeded determinism
     assert c1[0] == c1[99]               # near-dup lands in the same bucket
     pairs = {(r["a"], r["b"]) for r in
-             vectors.cosine_neardup_pairs(df, threshold=0.99, n_bits=8,
-                                          seed=42).collect()}
-    assert (0, 99) in pairs
+             vectors.cosine_neardup_pairs(df, threshold=0.99, tables=8,
+                                          bits=8, seed=42).collect()}
+    assert (0, 99) in pairs or (99, 0) in pairs
 
 
 def test_multimodal_payload_and_features(spark):
@@ -104,3 +104,59 @@ def test_multimodal_payload_and_features(spark):
 def test_multimodal_real_mode_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "real")
+
+
+# ---------------------------------------------------------------------------
+# REAL media decode (BMP / WAV header parsing — no codec libs needed)
+# ---------------------------------------------------------------------------
+
+def _tiny_bmp(w=3, h=2, bgr=(10, 20, 30)):
+    import struct
+    stride = ((w * 3 + 3) // 4) * 4
+    row = (bytes(bgr) * w).ljust(stride, b"\x00")
+    px = row * h
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                       2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+    return hdr + info + px
+
+
+def _tiny_wav(rate=8000, samples=(1000, -1000, 2000, -2000)):
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_bmp_real():
+    from nise_dedup.multimodal import decode_bmp, decode_media
+    f = decode_bmp(_tiny_bmp())
+    assert f == [3.0, 2.0, 10.0, 20.0, 30.0]
+    assert decode_media(_tiny_bmp())[0] == "bmp"
+    assert decode_bmp(b"BMgarbage") is None
+    assert decode_media(b"plain text payload")[0] == "unknown"
+
+
+def test_decode_wav_real():
+    import math
+
+    from nise_dedup.multimodal import decode_wav
+    rate, ch, n, rms, peak = decode_wav(_tiny_wav())
+    assert (rate, ch, n, peak) == (8000.0, 1.0, 4.0, 2000.0)
+    assert abs(rms - math.sqrt(2.5e6)) < 1e-6
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+
+
+def test_extract_media_features_spark(spark):
+    from nise_dedup.multimodal import extract_media_features
+    rows = [(1, bytearray(_tiny_bmp())),
+            (2, bytearray(_tiny_wav())),
+            (3, bytearray(b"not media at all"))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           extract_media_features(media).collect()}
+    assert got[1]["kind"] == "bmp" and got[1]["f0"] == 3.0
+    assert got[2]["kind"] == "wav" and got[2]["f0"] == 8000.0
+    assert got[3]["kind"] == "unknown" and got[3]["f0"] is None
