@@ -95,13 +95,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .persist())
-    n_edges = base.count()
-    if n_edges == 0:
+    # ONE action does all the input prep: the eager localCheckpoint fills
+    # the cache and materializes the truncated RDD; the signature then runs
+    # over the (small) checkpointed edge set
+    edges = base.localCheckpoint(eager=True)
+    prev = _sig(edges)
+    if prev[0] == 0:
         spark = base.sparkSession
         base.unpersist()
         return spark.createDataFrame([], "node long, component long")
-    edges = base.localCheckpoint(eager=True)
-    prev = _sig(edges)
 
     it = 0
     converged = False

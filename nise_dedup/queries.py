@@ -556,7 +556,7 @@ def q_embedding_neardup(spark, sf_dir):
     # recall/linearity contracts are asserted on planted duplicates in
     # tests/test_vectors.py
     return vectors.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                        threshold=0.2, tables=8, bits=4,
+                                        threshold=0.2, tables=4, bits=8,
                                         seed=42)
 
 
