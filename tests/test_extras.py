@@ -149,6 +149,92 @@ def test_decode_wav_real():
     assert decode_wav(b"RIFFxxxxWAVE") is None
 
 
+def test_decode_wav_truncated_fmt():
+    """ADVICE r2: a RIFF/WAVE payload with a truncated 'fmt ' chunk must be
+    not-decodable (None / 'unknown'), never a struct.error task failure."""
+    import struct
+
+    from nise_dedup.multimodal import decode_media, decode_wav
+    short_fmt = struct.pack("<HHI", 1, 1, 8000)      # 8 bytes, not 16
+    b = (b"RIFF" + struct.pack("<I", 20 + len(short_fmt)) + b"WAVE"
+         + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+         + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    # pad past the 44-byte RIFF minimum so only the fmt truncation is tested
+    b = b + b"\x00" * max(0, 44 - len(b))
+    assert decode_wav(b) is None
+    assert decode_media(b) == ("unknown", [])
+    # chunk size field lying beyond the payload end must not crash either
+    evil = b"RIFF" + struct.pack("<I", 1 << 30) + b"WAVE" + b"fmt " \
+        + struct.pack("<I", 1 << 29)
+    assert decode_media(evil.ljust(60, b"\x01"))[0] == "unknown"
+
+
+def test_synth_media_roundtrip(spark):
+    """The media_decode driver query's contract: synthesized payloads decode
+    (via the REAL BMP/WAV parsers) to exact integer arithmetic on the id."""
+    from nise_dedup.multimodal import (extract_media_features,
+                                       synth_media_payloads)
+    ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    got = {r["media_id"]: r for r in
+           extract_media_features(synth_media_payloads(ids)).collect()}
+    for i in range(20):
+        r = got[i]
+        if i % 2 == 0:
+            assert r["kind"] == "bmp"
+            assert (r["f0"], r["f1"]) == (float(i % 7 + 1), float(i % 5 + 1))
+            assert (r["f2"], r["f3"], r["f4"]) == (
+                float(i % 256), float((3 * i + 7) % 256),
+                float((5 * i + 11) % 256))
+        else:
+            assert r["kind"] == "wav"
+            assert r["f0"] == float(8000 + (i % 5) * 1000)
+            assert r["f1"] == float(1 + (i // 2) % 2)
+            assert r["f2"] == float(16 + i % 8)
+            assert r["f3"] == r["f4"] == float(i % 1000 + 1)
+
+
+def test_cosine_topk_empty_and_zero_queries(spark):
+    """ADVICE r2: no ids below n_queries -> empty frame (not np.stack
+    crash); an all-zero query vector scores 0, never NaN."""
+    df = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = vectors.cosine_topk_bruteforce(df, n_queries=10, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine_r"]
+
+    z = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    rows = vectors.cosine_topk_bruteforce(z, n_queries=1, k=2).collect()
+    assert rows and all(r["cosine_r"] == 0.0 for r in rows)
+
+
+def test_candidate_pairs_no_handles_releases_cache(spark):
+    """ADVICE r2: with handles=None (the registry/one-shot path) the
+    internal salted-bucket persist must be released before returning."""
+    from nise_dedup import lsh
+    from nise_dedup.config import DedupConfig
+    bands = spark.createDataFrame(
+        [(i % 2, i % 3, i) for i in range(24)],
+        "band_id int, band_key long, file_id long")
+    sc = spark.sparkContext._jsc.sc()
+
+    def cached_dataframes():
+        return sum(1 for info in sc.getRDDStorageInfo()
+                   if "salted" in info.name().lower()
+                   or "inmemory" in info.name().lower())
+
+    spark.catalog.clearCache()
+    pairs = lsh.candidate_pairs(bands, DedupConfig(bucket_cap=4))
+    assert pairs.count() > 0
+    # the only surviving storage is the localCheckpoint of the (tiny) pair
+    # table itself; the salted-bucket DataFrame cache is gone
+    names = [info.name() for info in sc.getRDDStorageInfo()]
+    assert not any("InMemoryTable" in n or "salted" in n.lower()
+                   for n in names), names
+
+
 def test_extract_media_features_spark(spark):
     from nise_dedup.multimodal import extract_media_features
     rows = [(1, bytearray(_tiny_bmp())),

@@ -84,6 +84,41 @@ def test_iceberg_seam(spark):
     assert df.columns == ingest.CORPUS_COLS   # runtime present: real check
 
 
+def test_iceberg_write_seam(spark, tmp_path):
+    """SURVEY §4 write-side layout (VERDICT r2 missing #5): signatures/bands
+    stored bucketed + sorted by their join keys. Parquet fallback runs for
+    real; the Iceberg branch (bucket-transform partitioning + WRITE ORDERED
+    BY) is exercised to the DataSource lookup and skips, like the read seam."""
+    from nise_dedup.io import write_production
+
+    df = spark.range(32).select(
+        F.col("id").alias("band_key"), (F.col("id") * 7).alias("file_id"))
+    out = str(tmp_path / "prod_layout")
+    write_production(df, out, bucket_col="band_key", n_buckets=4,
+                     sort_cols=("band_key", "file_id"), fmt="parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == 32
+    # layout is real: co-located by key (4 repartitioned files) and sorted
+    # within each partition
+    import glob
+    assert len(glob.glob(os.path.join(out, "part-*"))) == 4
+    from pyspark.sql.functions import input_file_name
+    parts = back.withColumn("f", input_file_name()).collect()
+    byfile = {}
+    for r in parts:
+        byfile.setdefault(r["f"], []).append((r["band_key"], r["file_id"]))
+    for vals in byfile.values():
+        assert vals == sorted(vals)
+
+    try:
+        write_production(df, "default.nise_prod_sigs", bucket_col="band_key",
+                         n_buckets=4, sort_cols=("band_key",), fmt="iceberg")
+    except Exception as e:  # noqa: BLE001 - any Spark lookup error
+        assert "iceberg" in str(e).lower()
+        pytest.skip("no Iceberg runtime jar in this sandbox (expected)")
+    assert spark.table("default.nise_prod_sigs").count() == 32
+
+
 def test_filter_pushdown_and_column_pruning(spark, tmp_path):
     """README claim, made checkable: ingest hygiene filters reach the
     parquet scan (PushedFilters) and metadata-only projections prune

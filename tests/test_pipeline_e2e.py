@@ -162,6 +162,37 @@ def test_id_collision_fallback(spark, monkeypatch):
     res.release()
 
 
+def test_id_collision_fallback_ckpt(spark, monkeypatch, tmp_path):
+    """ADVICE r2 (medium): in ckpt mode the fallback republishes the ingest
+    stage it is READING — without lineage truncation Spark raises
+    UNSUPPORTED_OVERWRITE and the run (and every resume) wedges. Assert the
+    checkpointed fallback completes, resolves ids, and resumes stably."""
+    from pyspark.sql import functions as F
+
+    from nise_dedup import ingest as I
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    rows = C.generate("tiny", seed=42)
+    df = spark.createDataFrame(C.to_pandas(rows))
+
+    def colliding(d):
+        return d.withColumn("file_id", F.xxhash64("repo"))
+
+    monkeypatch.setattr(I, "with_file_id", colliding)
+    ckpt = str(tmp_path / "ck")
+    res = run_pipeline(spark, df, cfg, ckpt=ckpt, collect_metrics=False)
+    got = sorted((r["repo"], r["path"], r["commit"], r["file_id"],
+                  r["cluster_id"]) for r in res.clusters.collect())
+    ids = [g[3] for g in got]
+    assert len(ids) == len(set(ids)) == len(rows)   # resolved to unique
+    # resume: the republished stage already has unique ids -> no re-publish,
+    # byte-identical output
+    res2 = run_pipeline(spark, df, cfg, ckpt=ckpt, collect_metrics=False)
+    got2 = sorted((r["repo"], r["path"], r["commit"], r["file_id"],
+                   r["cluster_id"]) for r in res2.clusters.collect())
+    assert got == got2
+
+
 def test_resolve_id_collisions_deterministic(spark):
     from pyspark.sql import functions as F
 
