@@ -50,9 +50,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the edge list and run exact
+    union-find on the driver, labeling each component with its minimum
+    node id — byte-identical semantics to the star rounds.
+
+    Rationale (the broadcast-join analogy): below the threshold the whole
+    graph is a few MB — smaller than one shuffle partition — while the
+    distributed path pays O(log n) rounds x ~6 shuffles each. Collecting
+    a bounded small side to the driver is exactly what Spark itself does
+    for broadcast joins; the distributed path remains the default above
+    the threshold and is stress-tested at 150k+ edges."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:       # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = edges.collect()
+    for row in rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:                # union by min keeps labels canonical
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        out, "node long, component long")
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50,
                          check_every: int = 2,
-                         small_edges: int = 20_000) -> DataFrame:
+                         small_edges: int = 20_000,
+                         small_graph: int = 100_000) -> DataFrame:
     """C1 — edges DF[src, dst] (any orientation) → DF[node, component]
     where component = min node id in the connected component.
 
@@ -74,6 +113,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     joins are far cheaper than the wasted post-convergence iterations, so
     the batch size drops to 1 (VERDICT r2: cc_chain_clusters paid ~2
     redundant iterations per run at toy scale).
+
+    ``small_graph``: below this edge count the graph is solved EXACTLY on
+    the driver (``_driver_union_find``; see its broadcast-join rationale)
+    instead of paying O(log n) x ~6 shuffles of star rounds — identical
+    labels, parity-tested. Set 0 to force the distributed path.
     """
     def _sig(df):
         # one action per iteration: set equality via (count, hash-XOR-fold)
@@ -121,6 +165,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         spark = base.sparkSession
         base.unpersist()
         return spark.createDataFrame([], "node long, component long")
+    if prev[0] <= small_graph:
+        out = _driver_union_find(edges)
+        base.unpersist()
+        return out
     if prev[0] <= small_edges:
         check_every = 1       # adaptive: see docstring
 

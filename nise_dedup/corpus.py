@@ -42,7 +42,7 @@ _LICENSE = (
 )
 
 SIZES = {"tiny": 200, "small": 5000, "medium": 50_000, "bench": 200_000,
-         "xl": 1_000_000}
+         "mid500k": 500_000, "xl": 1_000_000}
 
 
 @dataclass

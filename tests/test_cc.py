@@ -23,13 +23,17 @@ def _check(spark, edges):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges] or [(0, 0)],
         "src long, dst long")
-    got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
     want = _uf_components(edges)
     nodes = {n for e in edges for n in e if e[0] != e[1]}
-    assert set(got) == nodes
-    for n in nodes:
-        assert got[n] == want[n], (n, got[n], want[n])
+    # BOTH code paths must agree with the oracle: the driver union-find
+    # fast path (default at this size) and the distributed star rounds
+    # (small_graph=0 forces them)
+    for kwargs in ({}, {"small_graph": 0}):
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, **kwargs).collect()}
+        assert set(got) == nodes, kwargs
+        for n in nodes:
+            assert got[n] == want[n], (kwargs, n, got[n], want[n])
 
 
 def test_cc_empty(spark):

@@ -162,6 +162,37 @@ def test_id_collision_fallback(spark, monkeypatch):
     res.release()
 
 
+def test_gate_laziness_by_consumer_count(spark):
+    """VERDICT r2 serial-term item: in no-ckpt mode, only multi-consumer
+    stages are persisted; single-consumer stages (cand/verified/clusters)
+    fuse into their consumer's job. Metrics mode adds consumers, so there
+    everything is persisted (the r2 behavior)."""
+    rows = C.generate("tiny", seed=42)
+    df = spark.createDataFrame(C.to_pandas(rows))
+    cfg = DedupConfig(shuffle_partitions=8)
+
+    # storageLevel consults the CacheManager by canonicalized PLAN, so a
+    # cached identical plan from an earlier test would read as persisted
+    spark.catalog.clearCache()
+    res = run_pipeline(spark, df, cfg, collect_metrics=False)
+    persisted = {n: s.storageLevel.useMemory or s.storageLevel.useDisk
+                 for n, s in res.stages.items()}
+    assert persisted["uniq"] and persisted["signatures"]
+    assert not persisted["cand_pairs"]
+    assert not persisted["verified_pairs"]
+    assert not persisted["clusters"]
+    # the content-bearing ingest cache was swapped for the pruned projection
+    assert not (res.stages["ingest"].storageLevel.useMemory
+                or res.stages["ingest"].storageLevel.useDisk)
+    res.release()
+
+    res2 = run_pipeline(spark, df, cfg, collect_metrics=True)
+    p2 = {n: s.storageLevel.useMemory or s.storageLevel.useDisk
+          for n, s in res2.stages.items()}
+    assert p2["cand_pairs"] and p2["verified_pairs"] and p2["clusters_uniq"]
+    res2.release()
+
+
 def test_id_collision_fallback_ckpt(spark, monkeypatch, tmp_path):
     """ADVICE r2 (medium): in ckpt mode the fallback republishes the ingest
     stage it is READING — without lineage truncation Spark raises
