@@ -86,6 +86,10 @@ class DedupConfig:
     bucket_cap: int = 256        # max members per (band, key) bucket before salting
     max_bucket: int = 100_000    # hard cap: buckets larger than this are degenerate
                                  # (empty/boilerplate); dropped WITH a metrics row
+    rep_k: int = 2               # cross-salt representatives per sub-bucket
+                                 # (lsh.cross_rep_pairs): >1 so one failed
+                                 # rep-pair verification cannot silently
+                                 # disconnect dups split across salts
 
     # --- execution ---
     arrow_batch_rows: int = 2048  # small batches: `content` can be megabytes

@@ -216,7 +216,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     if collect_metrics or ckpt:
         bands = lsh.explode_bands(signatures)
         health = lsh.rep_pair_health(
-            lsh.cross_rep_pairs(lsh.salted_buckets(bands, cfg)), verified)
+            lsh.cross_rep_pairs(lsh.salted_buckets(bands, cfg), cfg.rep_k),
+            verified)
     if collect_metrics:
         hrow = health.first()
         metrics.update({
