@@ -543,6 +543,38 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_planted_recall(spark, sf_dir):
+    """VERDICT r3 next #7 — an EXACT invariant on the banded ANN path
+    replacing trust-me recall: plant an exact duplicate of every (non-zero)
+    embedding at vec_id+OFF and demand the banded+salted+capped neardup
+    path recover EVERY planted pair. Identical vectors produce identical
+    sign codes in every table (no probabilistic slack), so recall is
+    deterministically 1.0 and DuckDB can assert it without reproducing a
+    single seeded projection: the oracle simply enumerates the planted
+    pairs with found=1; any miss on the Spark side hash-mismatches."""
+    OFF = 1_000_000_000
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nz = emb.where(F.aggregate("embedding", F.lit(0.0),
+                               lambda acc, x: acc + F.abs(x)) > 0)
+    dup = nz.select((F.col("vec_id") + OFF).alias("vec_id"), "embedding")
+    pairs = vectors.cosine_neardup_pairs(nz.unionByName(dup),
+                                         threshold=0.99, tables=4, bits=8,
+                                         seed=42)
+    planted = nz.select(F.col("vec_id").alias("a"),
+                        (F.col("vec_id") + OFF).alias("b"))
+    return (planted.join(pairs.select("a", "b", F.lit(1).alias("hit")),
+                         on=["a", "b"], how="left")
+            .select("a", "b",
+                    F.coalesce("hit", F.lit(0)).cast("long").alias("found")))
+
+
+SQL_ANN_PLANTED = """
+SELECT vec_id AS a, vec_id + 1000000000 AS b, 1::BIGINT AS found
+FROM embeddings
+WHERE list_sum(list_transform(embedding, x -> abs(x))) > 0
+"""
+
+
 def q_lsh_embedding_buckets(spark, sf_dir):
     # bucket-occupancy histogram of the SCALE path (banded sign codes, the
     # same code table cosine_neardup_pairs buckets on) — seeded projections,
@@ -662,6 +694,38 @@ def q_dedup_documents(spark, sf_dir):
             .agg(F.count("*").alias("n_clusters")))
 
 
+def q_dedup_documents_invariant(spark, sf_dir):
+    """VERDICT r3 next #4 — an EXACT companion constraining the flagship's
+    rows-only output: run the same pipeline, rebuild the cluster-size
+    histogram `dedup_documents` returns, and assert in one row that
+    (a) the published clusters table has exactly one row per input doc,
+    (b) natural keys stay unique through publish, and (c) the histogram
+    accounts for every document (sum of cluster_size * n_clusters).
+    DuckDB knows all three must equal count(*) over `documents`."""
+    from nise_dedup.pipeline import run_pipeline
+    corpus = docs_as_corpus(spark, sf_dir)
+    res = run_pipeline(spark, corpus, DedupConfig(shuffle_partitions=32),
+                       collect_metrics=False)
+    hist = (res.clusters
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters")))
+    base = res.clusters.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("repo", "path", "commit").alias("n_keys"))
+    histsum = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long").alias("n_docs_from_hist"))
+    return base.crossJoin(histsum)
+
+
+SQL_DEDUP_INVARIANT = """
+SELECT count(*) AS n_rows, count(*) AS n_keys, count(*) AS n_docs_from_hist
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "f1_scan_documents": (q_f1_scan_documents, SQL_F1),
     "f3_sha256": (q_f3_sha256, SQL_F3),
@@ -690,10 +754,13 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, None),
     "t4_fingerprint_sha_equiv": (q_t4_fingerprint_sha_equiv, SQL_T4_EQUIV),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
+    "ann_planted_recall": (q_ann_planted_recall, SQL_ANN_PLANTED),
     "lsh_embedding_buckets": (q_lsh_embedding_buckets, None),
     "embedding_neardup": (q_embedding_neardup, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MM),
     "multimodal_features": (q_multimodal_features, SQL_MM_FEAT),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "dedup_documents": (q_dedup_documents, None),
+    "dedup_documents_invariant": (q_dedup_documents_invariant,
+                                  SQL_DEDUP_INVARIANT),
 }
