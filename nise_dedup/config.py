@@ -95,6 +95,11 @@ class DedupConfig:
     arrow_batch_rows: int = 2048  # small batches: `content` can be megabytes
     shuffle_partitions: int = 64
     checkpoint_dir: str = ""      # stage manifests + CC checkpoints; "" = temp
+    incremental_buckets: int = 0  # >0 (ckpt mode only): the signature stage
+                                  # computes/commits per-bucket slices
+                                  # (io.run_stage_buckets) so a killed run
+                                  # resumes at bucket granularity; output is
+                                  # byte-identical, so this is execution-only
 
     # --- normalization (SURVEY §2.2 R1) feeding SHINGLING/LCS ONLY; the
     # stored `content` and its sha256 are never mutated (BASELINE invariant).
@@ -118,7 +123,8 @@ class DedupConfig:
         d = asdict(self)
         d.pop("extra", None)
         # execution-only knobs do not change output semantics
-        for k in ("arrow_batch_rows", "shuffle_partitions", "checkpoint_dir"):
+        for k in ("arrow_batch_rows", "shuffle_partitions", "checkpoint_dir",
+                  "incremental_buckets"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -41,7 +41,7 @@ def partition_lineage(df: DataFrame) -> list[dict]:
 
 
 def write_stage(df: DataFrame, stage: str, ckpt: str, config_hash: str,
-                lineage: bool = True) -> str:
+                lineage: bool = True, partition_by: str = "") -> str:
     sdir = _stage_dir(ckpt, stage)
     data = os.path.join(sdir, "data")
     # invalidate FIRST: a rerun (e.g. under a new config hash) killed after
@@ -51,7 +51,12 @@ def write_stage(df: DataFrame, stage: str, ckpt: str, config_hash: str,
     if os.path.exists(old_manifest):
         os.remove(old_manifest)
     t0 = time.time()
-    df.write.mode("overwrite").parquet(data)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        # directory-partitioned layout (part_bucket=N/...) so downstream
+        # bucket-granular consumers get partition-PRUNED scans, not filters
+        w = w.partitionBy(partition_by)
+    w.parquet(data)
     spark = df.sparkSession
     written = spark.read.parquet(data)
     manifest = {
@@ -88,7 +93,8 @@ def read_stage(spark: SparkSession, ckpt: str, stage: str) -> DataFrame:
 
 
 def run_stage(spark: SparkSession, ckpt: str, config_hash: str, stage: str,
-              fn: Callable[[], DataFrame], lineage: bool = True) -> DataFrame:
+              fn: Callable[[], DataFrame], lineage: bool = True,
+              partition_by: str = "") -> DataFrame:
     """F5 — resumable gate: skip + reload if the manifest says complete
     under the same config hash AND the parquet row count reconciles with the
     manifest (belt-and-braces vs out-of-band data corruption; the count is
@@ -106,10 +112,112 @@ def run_stage(spark: SparkSession, ckpt: str, config_hash: str, stage: str,
         return df
     spark.sparkContext.setJobGroup(stage, f"nise-dedup stage {stage}")
     try:
-        write_stage(df, stage, ckpt, config_hash, lineage=lineage)
+        write_stage(df, stage, ckpt, config_hash, lineage=lineage,
+                    partition_by=partition_by)
     finally:
         spark.sparkContext.setJobGroup("", "")
     return read_stage(spark, ckpt, stage)
+
+
+BUCKET_JOURNAL = "buckets.jsonl"
+
+
+def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
+                      stage: str, n_buckets: int,
+                      bucket_fn: Callable[[int], DataFrame]) -> DataFrame:
+    """F5b — per-partition incremental resume (SURVEY §3.2's promised
+    granularity below the stage boundary; VERDICT r3 next #5).
+
+    The stage's output is computed one *input bucket* at a time —
+    ``bucket_fn(b)`` returns bucket ``b``'s slice, which lands under
+    ``data/part_bucket=b/`` as its own committed parquet write, followed by
+    an appended journal line. A kill therefore loses at most the in-flight
+    bucket: on resume, buckets whose journal line AND data directory exist
+    are skipped and only the missing slices recompute (against a
+    bucket-partitioned upstream stage the re-read is partition-pruned, so
+    resume cost is proportional to the missing work, not the stage).
+    Crash-ordering is safe in both directions — data-then-journal means a
+    kill between the two leaves an orphan directory that is simply
+    overwritten on resume; the stage manifest is published only after every
+    bucket commits, so the whole-stage gate (stage_complete) never sees a
+    partial stage as done.
+
+    A journal header pins (config_hash, n_buckets); any mismatch wipes the
+    stage directory and restarts — bucket membership depends on both.
+    """
+    import shutil
+
+    def _read() -> DataFrame:
+        # the inferred dir-partition column is an internal bucketing
+        # detail; returned schema matches the non-incremental stage
+        return read_stage(spark, ckpt, stage).drop("part_bucket")
+
+    if stage_complete(ckpt, stage, config_hash):
+        try:
+            df = _read()
+            if df.count() == read_manifest(ckpt, stage)["rows"]:
+                return df
+        except Exception:
+            pass   # unreadable/partial data -> recompute below
+    sdir = _stage_dir(ckpt, stage)
+    data = os.path.join(sdir, "data")
+    os.makedirs(sdir, exist_ok=True)
+    # stale-manifest-first, same contract as write_stage
+    mpath = os.path.join(sdir, MANIFEST)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+
+    jpath = os.path.join(sdir, BUCKET_JOURNAL)
+    header = {"config_hash": config_hash, "n_buckets": n_buckets}
+    done: set[int] = set()
+    if os.path.exists(jpath):
+        lines = []
+        with open(jpath) as f:
+            for line in f:
+                try:
+                    lines.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        if lines and lines[0] == header:
+            done = {j["bucket"] for j in lines[1:]
+                    if os.path.isdir(
+                        os.path.join(data, f"part_bucket={j['bucket']}"))}
+        else:       # different config/bucketing: nothing is reusable
+            shutil.rmtree(data, ignore_errors=True)
+            os.remove(jpath)
+    if not os.path.exists(jpath):
+        with open(jpath, "w") as f:
+            f.write(json.dumps(header) + "\n")
+
+    t0 = time.time()
+    spark.sparkContext.setJobGroup(stage, f"nise-dedup stage {stage}")
+    try:
+        for b in range(n_buckets):
+            if b in done:
+                continue
+            bucket_fn(b).write.mode("overwrite").parquet(
+                os.path.join(data, f"part_bucket={b}"))
+            with open(jpath, "a") as f:
+                f.write(json.dumps({"bucket": b}) + "\n")
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+
+    written = spark.read.parquet(data)
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "rows": written.count(),
+        "schema": written.schema.jsonValue(),
+        "wall_s": round(time.time() - t0, 3),
+        "partitions": partition_lineage(written),
+        "n_buckets": n_buckets,
+        "completed_at_epoch": int(time.time()),
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, mpath)
+    return _read()
 
 
 def read_manifest(ckpt: str, stage: str) -> dict:

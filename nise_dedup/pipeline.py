@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from nise_dedup import cc, ingest, lsh, verify
 from nise_dedup.config import DedupConfig
-from nise_dedup.io import read_stage, run_stage, write_stage
+from nise_dedup.io import (read_stage, run_stage, run_stage_buckets,
+                           write_stage)
 from nise_dedup.signatures import compute_signatures
 
 FILES_COLS = ["file_id", "repo", "path", "commit", "lang",
@@ -166,10 +167,29 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     # only in the uniq cache (VERDICT r2 wrong #1), and the serial term
     # drops by one barrier (VERDICT r3 next #2).
     if ckpt:
-        uniq = run_stage(spark, ckpt, ch, "uniq",
-                         lambda: ingest.uniq_with_content(hashed))
-        signatures = run_stage(spark, ckpt, ch, "signatures",
-                               lambda: compute_signatures(uniq, cfg))
+        if cfg.incremental_buckets > 0:
+            # per-partition incremental resume (io.run_stage_buckets): uniq
+            # is laid out dir-partitioned on part_bucket so each signature
+            # bucket's re-read is a partition-PRUNED scan, and the
+            # signature stage commits bucket by bucket — a killed run
+            # resumes from the first missing bucket, not the stage start.
+            B = cfg.incremental_buckets
+            uniq = run_stage(
+                spark, ckpt, ch, "uniq",
+                lambda: ingest.uniq_with_content(hashed).withColumn(
+                    "part_bucket",
+                    F.pmod(F.xxhash64("file_id"), F.lit(B)).cast("int")),
+                partition_by="part_bucket")
+            signatures = run_stage_buckets(
+                spark, ckpt, ch, "signatures", B,
+                lambda b: compute_signatures(
+                    uniq.where(F.col("part_bucket") == b), cfg))
+            uniq = uniq.drop("part_bucket")
+        else:
+            uniq = run_stage(spark, ckpt, ch, "uniq",
+                             lambda: ingest.uniq_with_content(hashed))
+            signatures = run_stage(spark, ckpt, ch, "signatures",
+                                   lambda: compute_signatures(uniq, cfg))
     else:
         uniq = ingest.uniq_with_content(hashed).persist()
         stage_caches.append(uniq)
