@@ -227,11 +227,21 @@ def read_manifest(ckpt: str, stage: str) -> dict:
 
 def write_production(df: DataFrame, table: str, *, bucket_col: str,
                      n_buckets: int = 1024, sort_cols: tuple = (),
-                     fmt: str = "iceberg") -> None:
+                     fmt: str = "iceberg", mode: str = "overwrite") -> None:
     """Production write-side layout (SURVEY §4 physical-layout plan):
     store signatures/bands bucketed + sorted by their join keys so the
     verify-stage joins read co-located, key-run data instead of
     re-shuffling the big side.
+
+    ``mode`` gives both formats the SAME re-run semantics (ADVICE r3:
+    the round-3 Iceberg branch appended while parquet overwrote, and
+    re-runs threw TableAlreadyExistsException):
+    - "overwrite" (default, idempotent): Iceberg createOrReplace resets
+      the table (schema + partition spec + data) before the append;
+      parquet overwrites the directory.
+    - "append": Iceberg appends to the existing table (created with the
+      declared layout if absent); parquet appends files (the directory
+      layout stays bucketed because every write repartitions on the key).
 
     Iceberg path (no runtime jar in the sandbox — exercised to the catalog/
     DataSource lookup by a skip-if-unavailable test, like the read seam):
@@ -244,21 +254,25 @@ def write_production(df: DataFrame, table: str, *, bucket_col: str,
     Parquet fallback (sandbox-runnable): explicit repartition on the key +
     sortWithinPartitions — the same physical layout without the catalog.
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported write mode: {mode!r}")
     if fmt == "iceberg":
         from pyspark.sql.functions.partitioning import bucket as iceberg_bucket
         spark = df.sparkSession
-        (spark.createDataFrame([], df.schema)
-         .writeTo(table)
-         .using("iceberg")
-         .partitionedBy(iceberg_bucket(n_buckets, F.col(bucket_col)))
-         .tableProperty("write.distribution-mode", "hash")
-         .create())
-        if sort_cols:
-            spark.sql(f"ALTER TABLE {table} WRITE ORDERED BY "
-                      f"({', '.join(sort_cols)})")
+        if mode == "overwrite" or not spark.catalog.tableExists(table):
+            writer = (spark.createDataFrame([], df.schema)
+                      .writeTo(table)
+                      .using("iceberg")
+                      .partitionedBy(
+                          iceberg_bucket(n_buckets, F.col(bucket_col)))
+                      .tableProperty("write.distribution-mode", "hash"))
+            writer.createOrReplace()
+            if sort_cols:
+                spark.sql(f"ALTER TABLE {table} WRITE ORDERED BY "
+                          f"({', '.join(sort_cols)})")
         df.writeTo(table).append()
         return
     out = df.repartition(n_buckets, F.col(bucket_col))
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(table)
+    out.write.mode(mode).parquet(table)

@@ -51,12 +51,42 @@ def ensure_min_partitions(df: DataFrame, n: int) -> DataFrame:
 
 @dataclass
 class PipelineResult:
+    """Result handle for one pipeline run.
+
+    RECOMPUTE CLIFF (read this if you consume the pair/cluster frames
+    after the run): in no-checkpoint mode with ``collect_metrics=False``,
+    ``cand_pairs``/``verified_pairs``/``clusters``/``clusters_uniq`` are
+    LAZY — they fused into the cluster job that already ran, and the
+    internal helper caches (salted buckets, pair metadata) are drained as
+    soon as their consumer stage materializes. An action on these public
+    DataFrames afterwards therefore re-executes candidate generation and
+    the deep Arrow verify cascade from the (still cached) uniq/signature
+    stages (ADVICE r3). Call :meth:`materialize` first if you intend to
+    read them more than once, run with ``collect_metrics=True`` (which
+    persists them), or run with ``ckpt`` (which reads them back from
+    stage parquet).
+    """
+
     clusters: DataFrame        # one row per input row: keys + cluster_id
     clusters_uniq: DataFrame   # per canonical content: file_id, cluster_id
     verified_pairs: DataFrame
     metrics: dict
     stages: dict = field(default_factory=dict)   # name -> stage DataFrame
     _persisted: list = field(default_factory=list)
+
+    def materialize(self) -> "PipelineResult":
+        """Persist + fill the lazy public result frames so subsequent
+        actions on them read caches instead of re-running the LSH/verify
+        plan (see the class docstring). Costs one pass over the lazy
+        chain; released like every other cache by :meth:`release`."""
+        for df in (self.verified_pairs, self.clusters_uniq, self.clusters):
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                df.persist()
+                self._persisted.append(df)
+        for df in (self.verified_pairs, self.clusters_uniq, self.clusters):
+            df.count()
+        return self
 
     def release(self) -> None:
         """Unpersist every cached stage this run created (no-checkpoint

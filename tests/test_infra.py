@@ -110,6 +110,16 @@ def test_iceberg_write_seam(spark, tmp_path):
     for vals in byfile.values():
         assert vals == sorted(vals)
 
+    # re-run semantics are explicit and idempotent for overwrite (ADVICE
+    # r3: the formats previously disagreed — iceberg appended + threw on
+    # re-create, parquet overwrote)
+    write_production(df, out, bucket_col="band_key", n_buckets=4,
+                     sort_cols=("band_key", "file_id"), fmt="parquet")
+    assert spark.read.parquet(out).count() == 32      # overwrite: same rows
+    write_production(df, out, bucket_col="band_key", n_buckets=4,
+                     fmt="parquet", mode="append")
+    assert spark.read.parquet(out).count() == 64      # append: adds rows
+
     try:
         write_production(df, "default.nise_prod_sigs", bucket_col="band_key",
                          n_buckets=4, sort_cols=("band_key",), fmt="iceberg")
