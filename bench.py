@@ -194,6 +194,37 @@ def _raw_cpu_ceiling(n_lo: int, n_hi: int, fn=_burn) -> float:
     return rates[n_hi] / rates[n_lo]
 
 
+def _qualified_ceilings(n_lo: int, n_hi: int) -> dict:
+    """Ceiling-qualified measurement window (VERDICT r3 next #1a): the
+    contract's scaling-efficiency number is only meaningful when the
+    hypervisor is actually GRANTING ~n_hi/n_lo x the memory bandwidth at
+    the high level — the round-3 session measured a GEMM 2->8 ratio of
+    ~1.1x (vs 3.96x the session before) and no shuffle-heavy job can
+    scale on a bus that does not. So: re-measure the GEMM ceiling up to
+    $NISE_CEIL_RETRIES times, $NISE_CEIL_SLEEP s apart, and start the pair
+    only once the ratio clears $NISE_CEIL_MIN x (or retries run out — the
+    attempt log is recorded either way, so the rendered evidence states
+    whether the window was qualified)."""
+    want = float(os.environ.get("NISE_CEIL_MIN", "3.0"))
+    retries = int(os.environ.get("NISE_CEIL_RETRIES", "5"))
+    sleep_s = float(os.environ.get("NISE_CEIL_SLEEP", "120"))
+    attempts = []
+    best = None
+    for i in range(max(1, retries)):
+        g = _raw_cpu_ceiling(n_lo, n_hi, _matmul)
+        attempts.append(round(g, 3))
+        if best is None or g > best["ceil_gemm"]:
+            best = {"ceil_gemm": g,
+                    "ceil_alu": _raw_cpu_ceiling(n_lo, n_hi, _burn)}
+        if g >= want:
+            break
+        if i + 1 < retries:
+            time.sleep(sleep_s)
+    best.update({"ceil_attempts": attempts, "ceil_required": want,
+                 "qualified": attempts[-1] >= want or max(attempts) >= want})
+    return best
+
+
 def _measure_pair(corpus_path: str, n_lo: int, reps: int,
                   size: str) -> dict:
     """Measure one N vs 4N pair (cached per (size, n_lo) in /tmp so a
@@ -208,8 +239,9 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
         with open(cache) as f:
             return json.load(f)
 
-    ceil_alu = _raw_cpu_ceiling(n_lo, n_hi, _burn)
-    ceil_gemm = _raw_cpu_ceiling(n_lo, n_hi, _matmul)
+    qual = _qualified_ceilings(n_lo, n_hi)
+    ceil_alu = qual["ceil_alu"]
+    ceil_gemm = qual["ceil_gemm"]
 
     def one_run(cpus: int, ckpt: str = "") -> dict:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -239,7 +271,10 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
 
     result = {"n_lo": n_lo, "n_hi": n_hi, "runs": runs,
               "stage_runs": stage_runs,
-              "ceil_alu": ceil_alu, "ceil_gemm": ceil_gemm}
+              "ceil_alu": ceil_alu, "ceil_gemm": ceil_gemm,
+              "ceil_attempts": qual["ceil_attempts"],
+              "ceil_required": qual["ceil_required"],
+              "qualified": qual["qualified"]}
     with open(cache, "w") as f:
         json.dump(result, f)
     return result
@@ -282,6 +317,11 @@ worker processes, of the ideal 4.00x):
 |---|---|---|
 | pure-Python ALU busy loop | {ca:.2f}x | {ca / 4:.3f} |
 | NumPy 384x384 GEMM (memory-bandwidth-bound) | {cg:.2f}x | {cg / 4:.3f} |
+
+Ceiling qualification (VERDICT r3 #1a — measure only in a window where the
+hypervisor grants bandwidth): GEMM attempts {p.get('ceil_attempts', '[]')}
+against required >= {p.get('ceil_required', '-')}x —
+**window {'QUALIFIED' if p.get('qualified') else 'NOT qualified (best attempt used; interpret efficiency against the recorded ceiling)'}**.
 
 | parallelism | runs (wall, throughput, steal) | median files/sec |
 |---|---|---|

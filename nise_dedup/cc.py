@@ -22,27 +22,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _skew_join_min(rows: DataFrame, mins: DataFrame,
+                   salts: int) -> DataFrame:
+    """Join per-node min labels back onto a node's (src, dst) rows with a
+    salt-replicated equi-join (the load-balancing move of the BTS line of
+    work [PAPERS.md: ICDE'24] expressed as plain DataFrame salting): a
+    giant star makes ONE src key carry millions of rows, which pins the
+    min-label join to a single task even though the agg itself was fine
+    (map-side partial min). Replicate the tiny per-node ``mins`` row
+    ``salts`` ways and key each data row by pmod(xxhash64(dst), salts) so
+    the hub's rows spread over ``salts`` tasks. salts <= 0: plain join
+    (AQE skew splitting remains the first line of defense)."""
+    if salts <= 1:
+        return rows.join(mins, on="src")
+    repl = mins.withColumn(
+        "bsalt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    salted = rows.withColumn(
+        "bsalt", F.pmod(F.xxhash64("dst"), F.lit(salts)).cast("int"))
+    return salted.join(repl, on=["src", "bsalt"]).drop("bsalt")
+
+
+def _large_star(edges: DataFrame, balance_salts: int = 0) -> DataFrame:
     """For each node u, attach every strictly-larger neighbor to
     min(N(u) ∪ {u})."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
             .withColumn("m", F.least("mn", F.col("src"))).drop("mn"))
-    return (sym.join(mins, on="src")
+    return (_skew_join_min(sym, mins, balance_salts)
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct())
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, balance_salts: int = 0) -> DataFrame:
     """Orient edges high→low; for each node u, connect all of N(u) ∪ {u}
     to its minimum neighbor."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"),
         F.least("src", "dst").alias("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    neighbors = (oriented.join(mins, on="src")
+    neighbors = (_skew_join_min(oriented, mins, balance_salts)
                  .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
     self_edges = mins.select("src", F.col("m").alias("dst"))
     return (neighbors.union(self_edges)
@@ -100,7 +120,8 @@ _PLAN_TRUNC_LINES = 24
 def connected_components(edges: DataFrame, max_iter: int = 50,
                          check_every: int = 2,
                          small_edges: int = 20_000,
-                         small_graph: int = 100_000) -> DataFrame:
+                         small_graph: int = 100_000,
+                         balance_salts: int = 0) -> DataFrame:
     """C1 — edges DF[src, dst] (any orientation) → DF[node, component]
     where component = min node id in the connected component.
 
@@ -133,6 +154,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     wasted post-convergence iterations and the batch size drops to 1.
     (ADVICE r3: the round-3 formulation checked small_edges only on the
     input count, where the driver fast path made it dead code.)
+
+    ``balance_salts`` (scale insurance, SURVEY §7.3.3): >1 runs the star
+    rounds' min-label joins salt-replicated (``_skew_join_min``) so a
+    giant component's hub key cannot pin one task; 0/1 keeps the plain
+    joins (AQE skew splitting is the default defense). Labels are
+    identical either way (parity-tested).
     """
     def _sig(df):
         # one action per iteration: set equality via (count, hash-XOR-fold)
@@ -200,7 +227,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             # lazy checkpoint EVERY round (plan truncation — the next
             # round's multiple references share one RDD, materialized once
             # by the batch's signature action below)
-            nxt = _small_star(_large_star(nxt)).localCheckpoint(eager=False)
+            nxt = _small_star(_large_star(nxt, balance_salts),
+                              balance_salts).localCheckpoint(eager=False)
         cur = _sig(nxt)   # the batch's ONE action: check + materialize
         it += steps
         converged = cur == prev

@@ -95,6 +95,16 @@ class DedupConfig:
     arrow_batch_rows: int = 2048  # small batches: `content` can be megabytes
     shuffle_partitions: int = 64
     checkpoint_dir: str = ""      # stage manifests + CC checkpoints; "" = temp
+    deep_coshuffle_pairs: int = 2_000_000
+                                  # deep-verify formulation switch (verify
+                                  # module docstring): residues below this
+                                  # many pairs use the broadcast-friendly
+                                  # content JOIN (measured faster at bench
+                                  # scale); at/above it, the co-shuffle
+                                  # (content moves once per participant-
+                                  # bucket, never per pair — the only
+                                  # formulation that survives a residue too
+                                  # big to broadcast). Outputs identical.
     incremental_buckets: int = 0  # >0 (ckpt mode only): the signature stage
                                   # computes/commits per-bucket slices
                                   # (io.run_stage_buckets) so a killed run
@@ -124,7 +134,7 @@ class DedupConfig:
         d.pop("extra", None)
         # execution-only knobs do not change output semantics
         for k in ("arrow_batch_rows", "shuffle_partitions", "checkpoint_dir",
-                  "incremental_buckets"):
+                  "incremental_buckets", "deep_coshuffle_pairs"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

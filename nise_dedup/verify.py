@@ -8,22 +8,33 @@ Cost shape (the part that matters at 10^12 files):
 - every candidate pair joins only fixed-width metadata: an 8-byte simhash,
   a 256-byte minhash prefix (est_components) and a length — never the full
   shingle sets;
-- content bytes move ONLY for the est-gated residue, via a CO-SHUFFLE
-  (round 4, VERDICT r3 next #1b): pairs are bucketed by pmod(xxhash64(a),
-  P); the distinct residue participants' content rows are tagged with the
-  same bucket and unioned with the pair rows into ONE stream that is
-  repartitioned on the bucket and locally sorted so each bucket's content
-  precedes its pairs. One Arrow mapper then normalizes + shingles each
-  participant EXACTLY ONCE per bucket and evaluates every pair from that
-  in-memory table. Content bytes therefore shuffle once per (participant,
-  bucket) — never per pair. (The round-3 formulation joined content onto
-  each pair row and re-shuffled the attached bytes through the b-side join
-  and a trailing repartition: at the 1M-file bench the deep stage was 758s
-  of the 1187s local[2] wall, dominated by those per-pair bytes.)
+- content bytes move ONLY for the est-gated residue, through one of TWO
+  formulations chosen ADAPTIVELY by the measured residue size (round 4;
+  the choice costs nothing — it folds into the metadata cache-fill agg):
+
+  * JOINED (small residue): join content onto the pair rows and feed the
+    Arrow mapper directly. When the pair list is broadcast-sized, AQE
+    broadcasts it and `uniq` content never shuffles at all — the only
+    content movement is the single repartition of the joined rows. A/B
+    at 200k/500k files measured this 10-20% faster end-to-end than the
+    co-shuffle (which pays a blocking local sort for a byte saving that
+    is small while pairs-per-participant is ~2).
+  * CO-SHUFFLED (large residue): once the pair list is too big to
+    broadcast, the joined plan degrades to shuffling full `uniq` content
+    for both join sides plus the per-pair attached bytes — the scale
+    killer. Instead, bucket pairs by pmod(xxhash64(a), 8P), tag the
+    distinct participants' content rows with the same bucket, union,
+    repartition ONCE on the bucket and locally sort so each bucket's
+    content precedes its pairs: content shuffles once per (participant,
+    bucket), never per pair, and the mapper normalizes + shingles each
+    participant once per bucket.
+
 - inside the mapper, exact Jaccard and the LCS check run as before: an
   exact O(n) rolling-hash threshold decision first, the O(n log^2 n)
   suffix array only for pairs that provably contain a qualifying common
-  substring.
+  substring. Both formulations evaluate pairs through ONE shared cascade
+  closure (`_make_cascade`), so the frozen policy cannot drift between
+  them.
 """
 
 from __future__ import annotations
@@ -81,8 +92,122 @@ def bbit_est_expr(lo_a, hi_a, lo_b, hi_b, m: int):
     return (matches / F.lit(m) - 0.25) / 0.75
 
 
+def _make_cascade(cfg: DedupConfig):
+    """The per-pair deep cascade (exact Jaccard → LCS decision), built once
+    per mapper on the worker and SHARED by both deep formulations so the
+    frozen policy cannot drift between them.
+
+    ``ea``/``eb`` are mutable ``[norm_bytes, shingles|None]`` entries —
+    shingle sets are computed lazily on first need and memoized back into
+    the entry, so a participant pays the O(m) shingle pass at most once
+    per mapper-side table/memo lifetime.
+
+    Returns run(ea, eb, est) -> (jaccard, lcs_len, ok) with jaccard=-1.0 /
+    lcs_len=-1 where the cascade never computed them.
+    """
+    import numpy as np
+
+    from nise_dedup import hashing as H
+    from nise_dedup.suffix import has_common_substring, \
+        longest_common_substring
+
+    k = cfg.shingle_k
+    tau_j, exact_gate = cfg.tau_jaccard, cfg.est_exact_gate
+    lcs_gate, ratio = cfg.tau_lcs_gate, cfg.tau_lcs_ratio
+    floor, lcs_on = cfg.tau_lcs_min_bytes, cfg.lcs_enabled
+    exact_lengths = cfg.lcs_exact_lengths
+
+    def shingles_of(e):
+        if e[1] is None:
+            e[1] = H.shingle_hashes(e[0], k)
+        return e[1]
+
+    def run(ea, eb, est):
+        jac, lcs, ok = -1.0, -1, False
+        if est >= exact_gate:
+            sha, shb = shingles_of(ea), shingles_of(eb)
+            inter = np.intersect1d(sha, shb, assume_unique=True).size
+            union = sha.size + shb.size - inter
+            jac = (inter / union) if union else 1.0
+            ok = jac >= tau_j
+        ca, cb = ea[0], eb[0]
+        if not ok and lcs_on and est >= lcs_gate:
+            # the pass rule is lcs_len >= max(floor, ratio*min_len) with a
+            # FLOAT rhs (the frozen oracle compares it unfloored), so the
+            # integer threshold is the ceiling, not the truncation: int()
+            # would accept lcs=614 when ratio*min_len=614.4
+            need = int(max(floor,
+                           math.ceil(ratio * min(len(ca), len(cb)))))
+            if min(len(ca), len(cb)) >= need:
+                # exact O(n) threshold decision; `passed` never needs the
+                # true max — the suffix array runs only for diagnostics
+                # (lcs_exact_lengths) or the ~2^-64 ambiguous collision
+                hit = has_common_substring(ca, cb, need)
+                if hit is not False:
+                    if exact_lengths or hit is None:
+                        lcs = longest_common_substring(ca, cb)
+                        ok = lcs >= need
+                    else:
+                        lcs = need       # verified lower bound
+                        ok = True
+        return jac, lcs, ok
+
+    return run
+
+
+def _deep_mapper_joined(cfg: DedupConfig):
+    """Deep verify over content-JOINED pair rows (the small-residue
+    formulation; see module docstring).
+
+    Input cols: a, b, est, content_a, content_b.
+    Output: a, b, jaccard double (-1 if not computed), lcs_len long (-1),
+    deep_pass boolean. Per-worker memo caches normalized bytes AND shingle
+    sets per file id (pairs are repartitioned by `a`, so hits are
+    frequent).
+    """
+    norm = cfg.normalize
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nise_dedup import hashing as H
+
+        cascade = _make_cascade(cfg)
+        memo: dict[int, list] = {}   # fid -> [norm_bytes, shingles|None]
+
+        def entry(fid: int, s: str):
+            e = memo.get(fid)
+            if e is None:
+                if len(memo) > 2048:
+                    memo.clear()
+                e = [H.normalize_text(s, norm).encode("utf-8"), None]
+                memo[fid] = e
+            return e
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            jac = np.full(n, -1.0)
+            lcs = np.full(n, -1, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            ids_a = pdf["a"].to_numpy()
+            ids_b = pdf["b"].to_numpy()
+            ests = pdf["est"].to_numpy()
+            for i, (sa, sb) in enumerate(zip(pdf["content_a"],
+                                             pdf["content_b"])):
+                ea = entry(int(ids_a[i]), sa)
+                eb = entry(int(ids_b[i]), sb)
+                jac[i], lcs[i], ok[i] = cascade(ea, eb, ests[i])
+            yield pd.DataFrame({"a": ids_a, "b": ids_b, "jaccard": jac,
+                                "lcs_len": lcs, "deep_pass": ok})
+
+    return compute
+
+
 def _deep_mapper(cfg: DedupConfig):
-    """Exact Jaccard + LCS over the co-shuffled residue stream.
+    """Deep verify over the CO-SHUFFLED residue stream (the large-residue
+    formulation; see module docstring).
 
     Input: the tagged union stream, locally sorted by (pid, tag) —
       tag=0 rows carry (pid, a=fid, content): a participant's content;
@@ -91,8 +216,8 @@ def _deep_mapper(cfg: DedupConfig):
     builds one per-bucket table (normalized bytes + lazily computed shingle
     set per fid, each computed EXACTLY ONCE per bucket) and evaluates every
     pair from it. The table is dropped when the bucket id changes — sorted
-    input bounds resident memory to one bucket's participants; bucket count
-    (= cfg.shuffle_partitions) is the scale knob.
+    input bounds resident memory to one bucket's participants; the bucket
+    count (8 * cfg.shuffle_partitions) is the scale knob.
 
     Output: a, b, jaccard double (-1 if not computed), lcs_len long (-1),
     deep_pass boolean — pair rows only.
@@ -102,26 +227,16 @@ def _deep_mapper(cfg: DedupConfig):
     int64 column would surface in pandas as float64 and corrupt xxhash64
     ids above 2^53.
     """
-    k, norm = cfg.shingle_k, cfg.normalize
-    tau_j, exact_gate = cfg.tau_jaccard, cfg.est_exact_gate
-    lcs_gate, ratio = cfg.tau_lcs_gate, cfg.tau_lcs_ratio
-    floor, lcs_on = cfg.tau_lcs_min_bytes, cfg.lcs_enabled
-    exact_lengths = cfg.lcs_exact_lengths
+    norm = cfg.normalize
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from nise_dedup import hashing as H
-        from nise_dedup.suffix import has_common_substring, \
-            longest_common_substring
 
+        cascade = _make_cascade(cfg)
         cur_pid = None
         table: dict[int, list] = {}   # fid -> [norm_bytes, shingles|None]
-
-        def shingles_of(e):
-            if e[1] is None:
-                e[1] = H.shingle_hashes(e[0], k)
-            return e[1]
 
         for pdf in batches:
             n = len(pdf)
@@ -147,43 +262,13 @@ def _deep_mapper(cfg: DedupConfig):
                         H.normalize_text(contents.iloc[i], norm)
                         .encode("utf-8"), None]
                     continue
-                a, b, est = int(ids_a[i]), int(ids_b[i]), ests[i]
+                a, b = int(ids_a[i]), int(ids_b[i])
                 ea, eb = table.get(a), table.get(b)
                 if ea is None or eb is None:
                     raise RuntimeError(
                         f"deep verify: content row missing for pair "
                         f"({a}, {b}) in bucket {cur_pid}")
-                jac, lcs, ok = -1.0, -1, False
-                want_j = est >= exact_gate
-                if want_j:
-                    sha, shb = shingles_of(ea), shingles_of(eb)
-                    inter = np.intersect1d(sha, shb,
-                                           assume_unique=True).size
-                    union = sha.size + shb.size - inter
-                    jac = (inter / union) if union else 1.0
-                    ok = jac >= tau_j
-                ca, cb = ea[0], eb[0]
-                if not ok and lcs_on and est >= lcs_gate:
-                    # the pass rule is lcs_len >= max(floor, ratio*min_len)
-                    # with a FLOAT rhs (the frozen oracle compares it
-                    # unfloored), so the integer threshold is the ceiling,
-                    # not the truncation: int() would accept lcs=614 when
-                    # ratio*min_len=614.4
-                    need = int(max(floor,
-                                   math.ceil(ratio * min(len(ca), len(cb)))))
-                    if min(len(ca), len(cb)) >= need:
-                        # exact O(n) threshold decision; `passed` never
-                        # needs the true max — the suffix array runs only
-                        # for diagnostics (lcs_exact_lengths) or the
-                        # ~2^-64 ambiguous collision
-                        hit = has_common_substring(ca, cb, need)
-                        if hit is not False:
-                            if exact_lengths or hit is None:
-                                lcs = longest_common_substring(ca, cb)
-                                ok = lcs >= need
-                            else:
-                                lcs = need       # verified lower bound
-                                ok = True
+                jac, lcs, ok = cascade(ea, eb, ests[i])
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(jac)
@@ -232,9 +317,6 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
                                                 F.col("simhash_b")))
             .select("a", "b", "est", "hamming", "len_a", "len_b")
             .persist())
-    meta.count()   # eager: three consumers below; lazy persist would race
-    if handles is not None:
-        handles.append(meta)
 
     # deep residue: hamming failed, est below the near-certain accept, AND
     # est clears a gate; the LCS-only band (est in [lcs_gate, exact_gate))
@@ -246,41 +328,65 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
         (F.col("est") >= cfg.est_exact_gate)
         | ((F.col("est") >= cfg.tau_lcs_gate) & cfg.lcs_enabled
            & (F.least("len_a", "len_b") >= cfg.tau_lcs_min_bytes)))
+
+    # ONE action fills the (three-consumer) metadata cache AND measures the
+    # residue for the adaptive formulation choice — a separate need.count()
+    # would be a wasted sequential barrier
+    row = meta.agg(F.count("*").alias("n"),
+                   F.sum(deep_gate.cast("long")).alias("d")).first()
+    n_deep = row["d"] or 0
+    if handles is not None:
+        handles.append(meta)
     need = meta.where(deep_gate).select("a", "b", "est")
 
-    # Co-shuffle (see module docstring): content bytes move once per
-    # (participant, bucket), never per pair. Bucket by pmod(xxhash64(a), P)
-    # — any deterministic bucketing works; pairs and their participants'
-    # content just have to share it. The participant-id table is tiny
-    # (ids only), so AQE broadcasts the content lookup join and `uniq`
-    # content never shuffles for it; the single content shuffle is the
-    # stream repartition below.
-    P = cfg.shuffle_partitions
-
-    def pid_of(c):
-        return F.pmod(F.xxhash64(c), F.lit(P)).cast("int")
-
-    pair_rows = need.select(
-        pid_of(F.col("a")).alias("pid"), F.lit(1).alias("tag"),
-        "a", "b", "est", F.lit(None).cast("string").alias("content"))
-    participants = (need.select(pid_of(F.col("a")).alias("pid"),
-                                F.col("a").alias("fid"))
-                    .union(need.select(pid_of(F.col("a")).alias("pid"),
-                                       F.col("b").alias("fid")))
-                    .distinct())
-    content_rows = (participants
-                    .join(uniq.select(F.col("file_id").alias("fid"),
-                                      "content"), on="fid")
-                    .select("pid", F.lit(0).alias("tag"),
-                            F.col("fid").alias("a"),
-                            F.lit(0).cast("long").alias("b"),
-                            F.lit(0.0).alias("est"), "content"))
     deep_schema = ("a long, b long, jaccard double, lcs_len long, "
                    "deep_pass boolean")
-    deep = (content_rows.unionByName(pair_rows)
-            .repartition(P, "pid")
-            .sortWithinPartitions("pid", "tag")
-            .mapInPandas(_deep_mapper(cfg), schema=deep_schema))
+    if n_deep < cfg.deep_coshuffle_pairs:
+        # JOINED formulation (module docstring): the pair list is small
+        # enough that AQE broadcasts it — uniq content streams past the
+        # build side without shuffling, and the only content movement is
+        # the explicit repartition that spreads the CPU-heavy residue
+        # across cores (keyed by `a` so the worker memo hits)
+        c_a = uniq.select(F.col("file_id").alias("a"),
+                          F.col("content").alias("content_a"))
+        c_b = uniq.select(F.col("file_id").alias("b"),
+                          F.col("content").alias("content_b"))
+        deep = (need.join(c_a, on="a").join(c_b, on="b")
+                .repartition(cfg.shuffle_partitions, "a")
+                .mapInPandas(_deep_mapper_joined(cfg), schema=deep_schema))
+    else:
+        # CO-SHUFFLED formulation (module docstring): bucket by
+        # pmod(xxhash64(a), D). The bucket DOMAIN is 8x the partition
+        # count: repartition hashes bucket values into partitions, and
+        # with only P distinct values ~1/e of the partitions would stay
+        # empty (occupancy of P balls in P bins) — 8P values give every
+        # partition ~8 buckets and an even load, while the per-bucket
+        # content table the mapper holds stays 8x smaller.
+        P = cfg.shuffle_partitions
+        D = 8 * P
+
+        def pid_of(c):
+            return F.pmod(F.xxhash64(c), F.lit(D)).cast("int")
+
+        pair_rows = need.select(
+            pid_of(F.col("a")).alias("pid"), F.lit(1).alias("tag"),
+            "a", "b", "est", F.lit(None).cast("string").alias("content"))
+        participants = (need.select(pid_of(F.col("a")).alias("pid"),
+                                    F.col("a").alias("fid"))
+                        .union(need.select(pid_of(F.col("a")).alias("pid"),
+                                           F.col("b").alias("fid")))
+                        .distinct())
+        content_rows = (participants
+                        .join(uniq.select(F.col("file_id").alias("fid"),
+                                          "content"), on="fid")
+                        .select("pid", F.lit(0).alias("tag"),
+                                F.col("fid").alias("a"),
+                                F.lit(0).cast("long").alias("b"),
+                                F.lit(0.0).alias("est"), "content"))
+        deep = (content_rows.unionByName(pair_rows)
+                .repartition(P, "pid")
+                .sortWithinPartitions("pid", "tag")
+                .mapInPandas(_deep_mapper(cfg), schema=deep_schema))
 
     return (meta.join(deep, on=["a", "b"], how="left")
             .withColumn("jaccard", F.coalesce("jaccard", F.lit(-1.0)))

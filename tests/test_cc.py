@@ -25,10 +25,12 @@ def _check(spark, edges):
         "src long, dst long")
     want = _uf_components(edges)
     nodes = {n for e in edges for n in e if e[0] != e[1]}
-    # BOTH code paths must agree with the oracle: the driver union-find
-    # fast path (default at this size) and the distributed star rounds
-    # (small_graph=0 forces them)
-    for kwargs in ({}, {"small_graph": 0}):
+    # ALL code paths must agree with the oracle: the driver union-find
+    # fast path (default at this size), the distributed star rounds
+    # (small_graph=0 forces them), and the salt-balanced star rounds
+    # (the BTS-style skew escape hatch)
+    for kwargs in ({}, {"small_graph": 0},
+                   {"small_graph": 0, "balance_salts": 3}):
         got = {r["node"]: r["component"]
                for r in connected_components(df, **kwargs).collect()}
         assert set(got) == nodes, kwargs

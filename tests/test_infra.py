@@ -168,3 +168,21 @@ def test_cc_giant_star_stress(spark):
                    .select("component").distinct().collect())
     assert [r["component"] for r in star_labels] == [0]
     assert comp.where(F.col("node") <= 100_000).count() == 100_001
+
+
+@pytest.mark.slow
+def test_cc_million_edge_star_balanced(spark):
+    """VERDICT r3 next #8 (BTS escape hatch): a single 1M-leaf star — the
+    maximal hot-hub shape — solved on the distributed path with
+    salt-balanced min-label joins. Must converge in O(1) rounds for a
+    star (max_iter=8 would raise otherwise) and label every leaf with the
+    hub id; the salted join spreads the hub's 1M rows over 8 sub-keys
+    instead of one task."""
+    from nise_dedup.cc import connected_components
+
+    star = spark.range(1, 1_000_001).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst"))
+    comp = connected_components(star, max_iter=8, small_graph=0,
+                                balance_salts=8)
+    assert comp.select("component").distinct().collect()[0]["component"] == 0
+    assert comp.count() == 1_000_001

@@ -65,6 +65,27 @@ def test_tiny_salted_parity(spark):
     assert pp <= op
 
 
+def test_deep_formulations_identical(spark):
+    """Round 4: the adaptive deep-verify switch must be invisible in the
+    output — force the co-shuffle formulation (threshold 0) and compare
+    against the joined formulation (threshold huge) pair for pair."""
+    cfg_join = DedupConfig(shuffle_partitions=8,
+                           deep_coshuffle_pairs=10**12)
+    cfg_cosh = DedupConfig(shuffle_partitions=8, deep_coshuffle_pairs=0)
+    rows = C.generate("tiny", seed=42)
+    df = spark.createDataFrame(C.to_pandas(rows))
+    outs = []
+    for cfg in (cfg_join, cfg_cosh):
+        res = run_pipeline(spark, df, cfg, collect_metrics=False)
+        outs.append({
+            "clusters": {(r["repo"], r["path"], r["commit"]): r["cluster_id"]
+                         for r in res.clusters.collect()},
+            "verified": sorted(map(tuple, res.verified_pairs.collect()))})
+        res.release()
+    assert outs[0]["verified"] == outs[1]["verified"]
+    assert outs[0]["clusters"] == outs[1]["clusters"]
+
+
 def test_tiny_permutation_invariance(spark):
     cfg = DedupConfig(shuffle_partitions=8)
     rows = C.generate("tiny", seed=42)
