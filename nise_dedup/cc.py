@@ -70,17 +70,26 @@ def _small_star(edges: DataFrame, balance_salts: int = 0) -> DataFrame:
             .distinct())
 
 
-def _driver_union_find(spark, rows) -> DataFrame:
+def _driver_union_find(spark, pdf) -> DataFrame:
     """Small-graph fast path: exact union-find on the driver over a
-    collected edge list, labeling each component with its minimum node id —
-    byte-identical semantics to the star rounds.
+    collected (pandas) edge list, labeling each component with its minimum
+    node id — byte-identical semantics to the star rounds.
 
     Rationale (the broadcast-join analogy): below the threshold the whole
-    graph is a few MB — smaller than one shuffle partition — while the
+    graph is tens of MB — smaller than one shuffle partition — while the
     distributed path pays O(log n) rounds x ~6 shuffles each. Collecting
     a bounded small side to the driver is exactly what Spark itself does
     for broadcast joins; the distributed path remains the default above
-    the threshold and is stress-tested at 150k+ edges."""
+    the threshold and is stress-tested at 150k+ and 1M edges.
+
+    Arrow in BOTH directions (round 4): the probe collects via toPandas()
+    and the labels return via a typed pandas frame — the round-3 Row
+    collect + createDataFrame(list-of-tuples) went through pickle, whose
+    serialization cost surfaced lazily in the first downstream action
+    (~9s at 100k edges, measured)."""
+    import numpy as np
+    import pandas as pd
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -91,8 +100,9 @@ def _driver_union_find(spark, rows) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        a, b = row[0], row[1]
+    srcs = pdf["src"].to_numpy()
+    dsts = pdf["dst"].to_numpy()
+    for a, b in zip(srcs.tolist(), dsts.tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -102,8 +112,11 @@ def _driver_union_find(spark, rows) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "node long, component long")
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    comps = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                        count=len(nodes))
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "component": comps}))
 
 
 # Optimized-plan line count above which the CC input lineage is truncated
@@ -120,7 +133,7 @@ _PLAN_TRUNC_LINES = 24
 def connected_components(edges: DataFrame, max_iter: int = 50,
                          check_every: int = 2,
                          small_edges: int = 20_000,
-                         small_graph: int = 100_000,
+                         small_graph: int = 2_000_000,
                          balance_salts: int = 0) -> DataFrame:
     """C1 — edges DF[src, dst] (any orientation) → DF[node, component]
     where component = min node id in the connected component.
@@ -133,11 +146,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     edges are solved EXACTLY on the driver (``_driver_union_find``; see its
     broadcast-join rationale) instead of paying O(log n) x ~6 shuffles of
     star rounds — identical labels, parity-tested. The probe and the
-    solve share ONE action: ``limit(small_graph+1).collect()`` either
+    solve share ONE action: ``limit(small_graph+1).toPandas()`` either
     returns the whole edge list (small case — round 3 paid three driver
     barriers here: checkpoint fill, signature agg, collect) or proves the
-    graph is big and the rows are discarded. Set 0 to force the
-    distributed path.
+    graph is big and the rows are discarded. The 2M default is a driver
+    memory call: 2M edges = two int64 numpy columns ~= 32 MB via Arrow +
+    a ~2s union-find loop, vs ~6 shuffles x O(log n) rounds plus their
+    driver barriers distributed — the same trade Spark makes for a 10 MB
+    broadcast table. Set 0 to force the distributed path (which real
+    web-scale edge sets — billions of dup pairs — still take).
 
     ``check_every``: iterations per convergence check on the distributed
     path. EVERY iteration is still lazily localCheckpointed (the star DAG
@@ -184,10 +201,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             .persist())
 
     if small_graph > 0:
-        head = base.limit(small_graph + 1).collect()
+        head = base.limit(small_graph + 1).toPandas()
         if len(head) <= small_graph:
             try:
-                if not head:
+                if head.empty:
                     return spark.createDataFrame(
                         [], "node long, component long")
                 return _driver_union_find(spark, head)
