@@ -90,6 +90,24 @@ class DedupConfig:
                                  # (lsh.cross_rep_pairs): >1 so one failed
                                  # rep-pair verification cannot silently
                                  # disconnect dups split across salts
+    escalate_failed_rep_pairs: bool = True
+                                 # remediation when even rep_k^2 chances all
+                                 # fail (VERDICT r4 next #7): salted buckets
+                                 # where NO rep pair passed verification get
+                                 # their full cross-salt member pairs
+                                 # emitted as a second candidate wave
+                                 # through the SAME frozen cascade — the
+                                 # only way a true dup split across salts of
+                                 # a heterogeneous capped bucket can still
+                                 # connect. Parity-safe toward the oracle
+                                 # (whose candidate set is the uncapped
+                                 # bucket all-pairs superset). SEMANTIC —
+                                 # in config_hash.
+    escalate_max_members: int = 4096
+                                 # escalation bound: buckets larger than
+                                 # this skip the member-pair wave (cost
+                                 # ~cnt^2/2) and are reported in metrics —
+                                 # never silently (SURVEY §7.3 rule)
 
     # --- execution ---
     arrow_batch_rows: int = 2048  # small batches: `content` can be megabytes

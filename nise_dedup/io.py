@@ -41,7 +41,8 @@ def partition_lineage(df: DataFrame) -> list[dict]:
 
 
 def write_stage(df: DataFrame, stage: str, ckpt: str, config_hash: str,
-                lineage: bool = True, partition_by: str = "") -> str:
+                lineage: bool = True, partition_by: str = "",
+                extra_manifest: dict | None = None) -> str:
     sdir = _stage_dir(ckpt, stage)
     data = os.path.join(sdir, "data")
     # invalidate FIRST: a rerun (e.g. under a new config hash) killed after
@@ -67,6 +68,7 @@ def write_stage(df: DataFrame, stage: str, ckpt: str, config_hash: str,
         "wall_s": round(time.time() - t0, 3),
         "partitions": partition_lineage(written) if lineage else [],
         "completed_at_epoch": int(time.time()),
+        **(extra_manifest or {}),
     }
     tmp = os.path.join(sdir, MANIFEST + ".tmp")
     os.makedirs(sdir, exist_ok=True)
@@ -94,17 +96,33 @@ def read_stage(spark: SparkSession, ckpt: str, stage: str) -> DataFrame:
 
 def run_stage(spark: SparkSession, ckpt: str, config_hash: str, stage: str,
               fn: Callable[[], DataFrame], lineage: bool = True,
-              partition_by: str = "") -> DataFrame:
+              partition_by: str = "",
+              extra_manifest: dict | None = None,
+              require_manifest: dict | None = None) -> DataFrame:
     """F5 — resumable gate: skip + reload if the manifest says complete
     under the same config hash AND the parquet row count reconciles with the
     manifest (belt-and-braces vs out-of-band data corruption; the count is
     footer-metadata-only so the check is cheap and runs only on resume);
-    else compute, persist, publish manifest."""
+    else compute, persist, publish manifest.
+
+    ``require_manifest`` (ADVICE r4): key/values the stored manifest must
+    also carry for the checkpoint to be reusable — the escape hatch for
+    EXECUTION-only knobs that nonetheless change the persisted *layout*
+    (e.g. ``incremental_buckets`` dir-partitions the uniq stage but is
+    excluded from config_hash because the dedup output is identical).
+    Callers pin the layout via ``extra_manifest`` on write and the same
+    dict via ``require_manifest`` on resume; a mismatch — including a
+    manifest written before the key existed — recomputes, exactly like a
+    config-hash mismatch."""
     if ckpt and stage_complete(ckpt, stage, config_hash):
         try:
-            df = read_stage(spark, ckpt, stage)
-            if df.count() == read_manifest(ckpt, stage)["rows"]:
-                return df
+            m = read_manifest(ckpt, stage)
+            layout_ok = all(m.get(k) == v
+                            for k, v in (require_manifest or {}).items())
+            if layout_ok:
+                df = read_stage(spark, ckpt, stage)
+                if df.count() == m["rows"]:
+                    return df
         except Exception:
             pass   # unreadable/partial data -> recompute below
     df = fn()
@@ -113,7 +131,7 @@ def run_stage(spark: SparkSession, ckpt: str, config_hash: str, stage: str,
     spark.sparkContext.setJobGroup(stage, f"nise-dedup stage {stage}")
     try:
         write_stage(df, stage, ckpt, config_hash, lineage=lineage,
-                    partition_by=partition_by)
+                    partition_by=partition_by, extra_manifest=extra_manifest)
     finally:
         spark.sparkContext.setJobGroup("", "")
     return read_stage(spark, ckpt, stage)
@@ -124,7 +142,8 @@ BUCKET_JOURNAL = "buckets.jsonl"
 
 def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
                       stage: str, n_buckets: int,
-                      bucket_fn: Callable[[int], DataFrame]) -> DataFrame:
+                      bucket_fn: Callable[[int], DataFrame],
+                      extra_manifest: dict | None = None) -> DataFrame:
     """F5b — per-partition incremental resume (SURVEY §3.2's promised
     granularity below the stage boundary; VERDICT r3 next #5).
 
@@ -143,7 +162,19 @@ def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
     partial stage as done.
 
     A journal header pins (config_hash, n_buckets); any mismatch wipes the
-    stage directory and restarts — bucket membership depends on both.
+    stage directory and restarts — bucket membership depends on both. Each
+    bucket's journal line records its ROW COUNT, re-verified (parquet
+    footer metadata only) on every resume: out-of-band corruption inside a
+    committed bucket therefore recomputes that bucket instead of being
+    republished as complete (ADVICE r4 — the round-4 formulation fell
+    through a failed manifest reconciliation to a journal that still
+    listed every bucket as done). Lines without a count (older journals)
+    are treated as unverifiable and recomputed.
+
+    NOTE: buckets execute as sequential Spark jobs (B driver barriers +
+    journal appends) — keep B small (<=32) or the per-run serial term
+    grows; this is the opt-in durability trade `incremental_buckets`
+    defaults to 0 for.
     """
     import shutil
 
@@ -179,9 +210,16 @@ def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
                 except json.JSONDecodeError:
                     continue
         if lines and lines[0] == header:
-            done = {j["bucket"] for j in lines[1:]
-                    if os.path.isdir(
-                        os.path.join(data, f"part_bucket={j['bucket']}"))}
+            for j in lines[1:]:
+                bdir = os.path.join(data, f"part_bucket={j['bucket']}")
+                if "rows" not in j or not os.path.isdir(bdir):
+                    continue    # unverifiable/missing -> recompute
+                try:
+                    # footer-metadata-only count per committed bucket
+                    if spark.read.parquet(bdir).count() == j["rows"]:
+                        done.add(j["bucket"])
+                except Exception:
+                    pass        # unreadable slice -> recompute
         else:       # different config/bucketing: nothing is reusable
             shutil.rmtree(data, ignore_errors=True)
             os.remove(jpath)
@@ -195,10 +233,11 @@ def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
         for b in range(n_buckets):
             if b in done:
                 continue
-            bucket_fn(b).write.mode("overwrite").parquet(
-                os.path.join(data, f"part_bucket={b}"))
+            bdir = os.path.join(data, f"part_bucket={b}")
+            bucket_fn(b).write.mode("overwrite").parquet(bdir)
+            rows = spark.read.parquet(bdir).count()
             with open(jpath, "a") as f:
-                f.write(json.dumps({"bucket": b}) + "\n")
+                f.write(json.dumps({"bucket": b, "rows": rows}) + "\n")
     finally:
         spark.sparkContext.setJobGroup("", "")
 
@@ -212,6 +251,7 @@ def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
         "partitions": partition_lineage(written),
         "n_buckets": n_buckets,
         "completed_at_epoch": int(time.time()),
+        **(extra_manifest or {}),
     }
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:

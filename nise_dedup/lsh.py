@@ -96,6 +96,21 @@ def bucket_metrics(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
                  F.max("cnt").alias("max_bucket_size")))
 
 
+def _reps(salted: DataFrame, rep_k: int) -> DataFrame:
+    """Per-sub-bucket representatives (band_id, band_key, salt, rep) —
+    deterministic xxhash64 rank, shared by cross_rep_pairs and the
+    escalation path so both see the SAME reps. The window sort touches
+    only rows of buckets that actually salted (nsplits > 1) — a rare,
+    metrics-tracked subset — never the full band table."""
+    w = (Window.partitionBy("band_id", "band_key", "salt")
+         .orderBy(F.xxhash64("file_id"), "file_id"))
+    return (salted.where(F.col("nsplits") > 1)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= rep_k)
+            .select("band_id", "band_key", "salt",
+                    F.col("file_id").alias("rep")))
+
+
 def cross_rep_pairs(salted: DataFrame, rep_k: int = 2) -> DataFrame:
     """Cross-salt connectivity pairs: up to ``rep_k`` representatives per
     salted sub-bucket (deterministic xxhash64 rank — see module docstring
@@ -103,21 +118,85 @@ def cross_rep_pairs(salted: DataFrame, rep_k: int = 2) -> DataFrame:
     reps. These are the pairs salted-bucket recall DEPENDS on (if every
     rep pair between two sub-buckets fails verification, true dups split
     across those salts never union) — so the pipeline also measures their
-    verification outcome (rep_pair_health). The window sort touches only
-    rows of buckets that actually salted (nsplits > 1) — a rare,
-    metrics-tracked subset — never the full band table."""
-    w = (Window.partitionBy("band_id", "band_key", "salt")
-         .orderBy(F.xxhash64("file_id"), "file_id"))
-    reps = (salted.where(F.col("nsplits") > 1)
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= rep_k)
-            .select("band_id", "band_key", F.col("file_id").alias("rep")))
+    verification outcome (rep_pair_health) and escalates buckets where a
+    salt pair loses every rep chance (escalation_pairs)."""
+    reps = _reps(salted, rep_k)
     rkey = ["band_id", "band_key"]
     rl = reps.select(*rkey, F.col("rep").alias("a"))
     rr = reps.select(*rkey, F.col("rep").alias("b"))
     return (rl.join(rr, on=rkey)
             .where(F.col("a") < F.col("b"))
             .select("a", "b"))
+
+
+def failed_salt_pairs(salted: DataFrame, verified: DataFrame,
+                      rep_k: int) -> DataFrame:
+    """Salt pairs of a salted bucket whose rep_k^2 cross-salt rep pairs ALL
+    failed verification — the exact situation where true dups split across
+    those two salts are silently disconnected (VERDICT r4 next #7).
+    Returns DF[band_id, band_key, salt_lo, salt_hi]."""
+    reps = _reps(salted, rep_k)
+    bkey = ["band_id", "band_key"]
+    rl = reps.select(*bkey, F.col("salt").alias("sa"),
+                     F.col("rep").alias("ra"))
+    rr = reps.select(*bkey, F.col("salt").alias("sb"),
+                     F.col("rep").alias("rb"))
+    rp = (rl.join(rr, on=bkey)
+          .where((F.col("ra") < F.col("rb")) & (F.col("sa") != F.col("sb")))
+          .select(*bkey,
+                  F.least("sa", "sb").alias("salt_lo"),
+                  F.greatest("sa", "sb").alias("salt_hi"),
+                  F.col("ra").alias("a"), F.col("rb").alias("b")))
+    j = rp.join(verified.select("a", "b", "passed"), on=["a", "b"],
+                how="left")
+    per = (j.groupBy(*bkey, "salt_lo", "salt_hi")
+           .agg(F.max(F.coalesce(F.col("passed"), F.lit(False)))
+                .alias("any_pass")))
+    return per.where(~F.col("any_pass")).drop("any_pass")
+
+
+def escalation_pairs(salted: DataFrame, verified: DataFrame,
+                     cfg: DedupConfig) -> DataFrame:
+    """Remediation wave (VERDICT r4 next #7): for every failed salt pair
+    (``failed_salt_pairs``) of a bucket with cnt <= cfg.escalate_max_members,
+    emit the FULL cross-salt member pairs between those two sub-buckets as
+    new candidates — verified downstream through the same frozen cascade,
+    so a true dup split across the salts gets its direct pair instead of
+    depending on rep connectivity. Bounded by cnt^2/2 per escalated bucket;
+    oversized buckets are skipped (accounted by ``escalation_diag``, never
+    silently). Parity-safe toward the oracle: its candidate set is the
+    uncapped bucket all-pairs, a superset of every pair emitted here.
+
+    Returns DF[a, b] with a < b, deduplicated, NOT yet filtered against
+    already-verified pairs (the caller anti-joins)."""
+    failed = failed_salt_pairs(salted, verified, cfg.rep_k)
+    bkey = ["band_id", "band_key"]
+    members = salted.select(*bkey, "salt", "file_id", "cnt").where(
+        F.col("cnt") <= cfg.escalate_max_members)
+    ml = members.select(*bkey, F.col("salt").alias("salt_lo"),
+                        F.col("file_id").alias("fa"))
+    mr = members.select(*bkey, F.col("salt").alias("salt_hi"),
+                        F.col("file_id").alias("fb"))
+    return (failed.join(ml, on=bkey + ["salt_lo"])
+            .join(mr, on=bkey + ["salt_hi"])
+            .select(F.least("fa", "fb").alias("a"),
+                    F.greatest("fa", "fb").alias("b"))
+            .where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+
+
+def escalation_diag(salted: DataFrame, verified: DataFrame,
+                    cfg: DedupConfig) -> DataFrame:
+    """No-silent-caps accounting for the escalation bound: one row with
+    (n_failed_salt_pairs, n_skipped_oversize) — metrics path only."""
+    failed = failed_salt_pairs(salted, verified, cfg.rep_k)
+    sizes = (salted.groupBy("band_id", "band_key")
+             .agg(F.max("cnt").alias("cnt")))
+    j = failed.join(sizes, on=["band_id", "band_key"], how="left")
+    return j.agg(
+        F.count("*").alias("n_failed_salt_pairs"),
+        F.sum((F.col("cnt") > cfg.escalate_max_members).cast("long"))
+        .alias("n_skipped_oversize"))
 
 
 def rep_pair_health(cross: DataFrame, verified: DataFrame) -> DataFrame:
@@ -136,20 +215,31 @@ def rep_pair_health(cross: DataFrame, verified: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
-                    handles: list | None = None) -> DataFrame:
+                    handles: list | None = None,
+                    stats: dict | None = None) -> DataFrame:
     """L3 — distinct candidate pairs (a < b) from salted buckets.
 
     Equi-self-join on the salted key; AQE handles residual imbalance.
     Cross-salt connectivity restored via representative pairs.
     ``handles``: internal persisted DataFrames are appended here so the
     caller can unpersist them once the pair table is materialized.
+    ``stats``: populated with ``n_salted_rows`` (rows living in salted
+    sub-buckets) measured by the materializing agg — free signal for the
+    caller's escalation-wave gate.
     """
     # the within-salt self-join reads this TWICE (left/right) and the
     # representative pass a third time: persist EAGERLY — a lazy persist
     # races cold within a single downstream action and each branch
-    # recomputes the window-count shuffle
+    # recomputes the window-count shuffle. The materializing action doubles
+    # as the salted-row measurement (any nsplits>1 rows?) so the pipeline's
+    # escalation wave never pays a separate probe barrier for the common
+    # nothing-salted case (VERDICT r4 next #1: every driver barrier is
+    # serial time).
     salted = salted_buckets(bands, cfg).persist()
-    salted.count()
+    n_salted_rows = salted.agg(
+        F.sum((F.col("nsplits") > 1).cast("long"))).first()[0] or 0
+    if stats is not None:
+        stats["n_salted_rows"] = int(n_salted_rows)
     if handles is not None:
         handles.append(salted)
 

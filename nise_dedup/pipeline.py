@@ -79,12 +79,15 @@ class PipelineResult:
         actions on them read caches instead of re-running the LSH/verify
         plan (see the class docstring). Costs one pass over the lazy
         chain; released like every other cache by :meth:`release`."""
-        for df in (self.verified_pairs, self.clusters_uniq, self.clusters):
+        targets = [df for df in (self.stages.get("cand_pairs"),
+                                 self.verified_pairs, self.clusters_uniq,
+                                 self.clusters) if df is not None]
+        for df in targets:
             lvl = df.storageLevel
             if not (lvl.useMemory or lvl.useDisk):
                 df.persist()
                 self._persisted.append(df)
-        for df in (self.verified_pairs, self.clusters_uniq, self.clusters):
+        for df in targets:
             df.count()
         return self
 
@@ -204,22 +207,37 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             # signature stage commits bucket by bucket — a killed run
             # resumes from the first missing bucket, not the stage start.
             B = cfg.incremental_buckets
+            # the bucket layout is pinned in the uniq manifest: toggling
+            # incremental_buckets between runs of the same config_hash
+            # changes the persisted uniq schema/dir layout, so a resume
+            # under a DIFFERENT layout must recompute, not reuse
+            # (ADVICE r4 — require_manifest treats it like a hash mismatch)
             uniq = run_stage(
                 spark, ckpt, ch, "uniq",
                 lambda: ingest.uniq_with_content(hashed).withColumn(
                     "part_bucket",
                     F.pmod(F.xxhash64("file_id"), F.lit(B)).cast("int")),
-                partition_by="part_bucket")
+                partition_by="part_bucket",
+                extra_manifest={"uniq_buckets": B},
+                require_manifest={"uniq_buckets": B})
             signatures = run_stage_buckets(
                 spark, ckpt, ch, "signatures", B,
                 lambda b: compute_signatures(
-                    uniq.where(F.col("part_bucket") == b), cfg))
+                    uniq.where(F.col("part_bucket") == b), cfg),
+                extra_manifest={"sig_buckets": B})
             uniq = uniq.drop("part_bucket")
         else:
             uniq = run_stage(spark, ckpt, ch, "uniq",
-                             lambda: ingest.uniq_with_content(hashed))
+                             lambda: ingest.uniq_with_content(hashed),
+                             extra_manifest={"uniq_buckets": 0},
+                             require_manifest={"uniq_buckets": 0})
+            # sig_buckets=0 pins the FLAT layout: a bucketed signatures
+            # checkpoint read back here would gain a stray inferred
+            # part_bucket column (the reverse-toggle leak, ADVICE r4)
             signatures = run_stage(spark, ckpt, ch, "signatures",
-                                   lambda: compute_signatures(uniq, cfg))
+                                   lambda: compute_signatures(uniq, cfg),
+                                   extra_manifest={"sig_buckets": 0},
+                                   require_manifest={"sig_buckets": 0})
     else:
         uniq = ingest.uniq_with_content(hashed).persist()
         stage_caches.append(uniq)
@@ -235,16 +253,64 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     # cache internally, which consumes cand exactly once either way.
     multi = bool(collect_metrics)
 
+    cand_stats: dict = {}
+
     def _cand():
         bands = lsh.explode_bands(signatures)
-        return lsh.candidate_pairs(bands, cfg, handles=cand_internals)
+        return lsh.candidate_pairs(bands, cfg, handles=cand_internals,
+                                   stats=cand_stats)
     cand = gate("cand_pairs", _cand, eager=multi)
 
-    verified = gate(
-        "verified_pairs",
-        lambda: verify.verify_pairs(cand, signatures, uniq, cfg,
-                                    handles=verify_internals),
-        eager=multi)
+    esc_info = {"n_escalation_pairs": 0}
+
+    def _verified():
+        """Wave 1: the frozen cascade over every LSH candidate. Wave 2
+        (``cfg.escalate_failed_rep_pairs``, VERDICT r4 next #7): salt
+        pairs whose rep_k^2 rep chances ALL failed get their full
+        cross-salt member pairs verified through the SAME cascade —
+        without it a true dup split across salts of a heterogeneous
+        capped bucket stays silently disconnected. Wave 2 is data-
+        dependent on wave-1 verdicts, so it costs ONE extra barrier —
+        paid only when some bucket actually salted (the salted-row count
+        came free with the candidate stage's materializing agg; at
+        default caps salting needs a 256+ member bucket). The barrier is
+        the escalation-pair count: its plan reads the lazily-persisted v1
+        exactly once (one linear consumer fills a lazy persist safely —
+        the multi-branch race needs >1 reference in one action), so v1
+        caches as a side effect and no separate v1.count() is paid."""
+        v1 = verify.verify_pairs(cand, signatures, uniq, cfg,
+                                 handles=verify_internals)
+        if not cfg.escalate_failed_rep_pairs:
+            return v1
+        # the free salted-row signal: 0 rows in salted sub-buckets means no
+        # cross-salt connectivity risk, hence no wave 2. On a ckpt resume
+        # that skipped the cand stage the signal is absent — rebuild the
+        # salted frame (cached: wave 2 reads it up to 4 times).
+        if cand_internals:
+            if cand_stats.get("n_salted_rows", 0) == 0:
+                return v1
+            salted = cand_internals[0]
+        else:
+            salted = lsh.salted_buckets(
+                lsh.explode_bands(signatures), cfg).persist()
+            stage_caches.append(salted)
+            if salted.where(F.col("nsplits") > 1).limit(1).count() == 0:
+                return v1
+        v1 = v1.persist()
+        stage_caches.append(v1)
+        esc = (lsh.escalation_pairs(salted, v1, cfg)
+               .join(cand.select("a", "b"), on=["a", "b"], how="left_anti")
+               .persist())
+        esc_info["n_escalation_pairs"] = esc.count()   # fills v1 AND esc
+        if esc_info["n_escalation_pairs"] == 0:
+            esc.unpersist()
+            return v1
+        stage_caches.append(esc)
+        v2 = verify.verify_pairs(esc, signatures, uniq, cfg,
+                                 handles=verify_internals)
+        return v1.unionByName(v2)
+
+    verified = gate("verified_pairs", _verified, eager=multi)
     # salted-bucket cache: fully consumed once the pair-metadata table is
     # materialized (inside verify_pairs, in both eager and lazy modes)
     drain(cand_internals)
@@ -277,6 +343,10 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             "n_clusters": clusters_uniq.select("cluster_id").distinct().count(),
             "n_rep_pairs": hrow["n_rep_pairs"],
             "n_rep_pairs_failed": hrow["n_rep_pairs_failed"] or 0,
+            # 0 when no bucket salted, every rep pair passed, or the
+            # verified stage was resumed from checkpoint (wave already
+            # folded into the stage parquet)
+            "n_escalation_pairs": esc_info["n_escalation_pairs"],
         })
     if ckpt:
         bands = lsh.explode_bands(signatures)

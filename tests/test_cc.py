@@ -77,3 +77,54 @@ def test_cc_idempotent_relabel(spark):
         comp.where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("src"), F.col("component").alias("dst")))
     assert sorted(comp.collect()) == sorted(again.collect())
+
+
+def test_cc_adaptive_salting_engages_on_hot_hub(spark):
+    """VERDICT r4 next #5: nothing used to turn `balance_salts` on — at
+    100x a giant component appears precisely when nobody is tuning flags.
+    With balance_salts=0 (the adaptive default) the signature agg measures
+    the live hot-key row count and salting must engage IN-LOOP, without
+    the caller asking, the moment a hub exceeds `auto_balance_rows` —
+    scaled to the skew and capped at 64."""
+    star = spark.range(1, 5_001).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst"))
+    stats = {}
+    comp = connected_components(star, max_iter=8, small_graph=0,
+                                auto_balance_rows=1_000, stats=stats)
+    assert stats["salts_used"] >= 2, stats          # engaged unprompted
+    assert stats["max_hot_rows"] >= 5_000, stats    # hub degree seen
+    assert not stats["driver_path"]
+    # labels identical to the plain path (parity under salting)
+    assert comp.select("component").distinct().collect()[0]["component"] == 0
+    assert comp.count() == 5_001
+
+
+def test_cc_adaptive_salting_stays_off_when_balanced(spark):
+    """The adaptive default must NOT pay the salted-join replication on a
+    balanced graph: a chain's max per-key degree is 2."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  "src long, dst long")
+    stats = {}
+    comp = connected_components(chain, small_graph=0, stats=stats)
+    assert stats["salts_used"] == 1, stats
+    # hot-key rows grow toward the component size as labels converge
+    # (every node ends up pointing at the root) but never near the
+    # default 500k activation threshold here
+    assert stats["max_hot_rows"] <= 200, stats
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_cc_hub_on_src_side_is_seen(spark):
+    """The input orientation is arbitrary: a hub sitting entirely on the
+    SRC side must still trip the adaptive measurement (the first signature
+    agg counts degree over BOTH directions)."""
+    star = spark.range(1, 3_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst"))
+    flipped = star.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst"))
+    for df in (star, flipped):
+        stats = {}
+        connected_components(df, max_iter=8, small_graph=0,
+                             auto_balance_rows=1_000, stats=stats)
+        assert stats["max_hot_rows"] >= 3_000, stats
+        assert stats["salts_used"] >= 2, stats

@@ -182,7 +182,12 @@ def test_cc_million_edge_star_balanced(spark):
 
     star = spark.range(1, 1_000_001).select(
         F.col("id").alias("src"), F.lit(0).alias("dst"))
+    stats = {}
     comp = connected_components(star, max_iter=8, small_graph=0,
-                                balance_salts=8)
+                                stats=stats)
+    # VERDICT r4 next #5: balance_salts is ADAPTIVE by default — the 1M-row
+    # hub must trip the live hot-key measurement with nobody tuning flags
+    assert stats["salts_used"] >= 2, stats
+    assert stats["max_hot_rows"] >= 1_000_000, stats
     assert comp.select("component").distinct().collect()[0]["component"] == 0
     assert comp.count() == 1_000_001

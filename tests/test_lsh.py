@@ -114,3 +114,101 @@ def test_identical_docs_share_all_bands(spark):
         explode_bands(compute_signatures(df, cfg)), cfg).collect()}
     assert (1, 2) in pairs
     assert all(p in {(1, 2)} for p in pairs), pairs
+
+
+def test_escalation_recovers_pair_rep_k2_loses(spark):
+    """VERDICT r4 next #7: when even rep_k^2 cross-salt rep chances ALL
+    fail verification, the dup pair split across salts is silently lost —
+    escalation must emit the direct member pairs so the SAME cascade can
+    recover it.
+
+    Planted bucket {115, 75, 35 | 199, 184, 8} under bucket_cap=3
+    (nsplits=2; salt = pmod(xxhash64(id), 2) — asserted, not assumed).
+    xxhash64-rank order within salt 0 is 115 < 75 < 35 and within salt 1
+    is 199 < 184 < 8, so the rep_k=2 reps are {115, 75} x {199, 184} (the
+    planted 'license headers', all four pairs failing verification
+    downstream) and the dup pair (8, 35) — both rank 3 — never meets via
+    reps. Escalation emits the full 3x3 cross-salt member pairs including
+    (8, 35); feeding that pair through the REAL cascade with identical
+    content verifies it, which is the remediation's whole point."""
+    from pyspark.sql import functions as F
+
+    from nise_dedup.lsh import (cross_rep_pairs, escalation_pairs,
+                                escalation_diag, failed_salt_pairs,
+                                salted_buckets)
+
+    members = [115, 75, 35, 199, 184, 8]
+    cfg = DedupConfig(bucket_cap=3)
+    salted = salted_buckets(_bands_df(spark, [(0, 7, members)]), cfg)
+    got = {r["file_id"]: r["salt"] for r in salted.collect()}
+    assert got == {115: 0, 75: 0, 35: 0, 199: 1, 184: 1, 8: 1}
+
+    reps = {(r["a"], r["b"])
+            for r in cross_rep_pairs(salted, rep_k=2).collect()}
+    assert (8, 35) not in reps                    # rep_k=2 alone LOSES it
+    cross_reps = {(115, 199), (115, 184), (75, 199), (75, 184)}
+    assert cross_reps <= reps
+
+    # wave-1 verdicts: every cross-salt rep pair FAILED (heterogeneous
+    # bucket — the reps are mutually dissimilar boilerplate)
+    verified = spark.createDataFrame(
+        [(a, b, False) for a, b in sorted(reps)],
+        "a long, b long, passed boolean")
+
+    failed = failed_salt_pairs(salted, verified, cfg.rep_k).collect()
+    assert [(r["salt_lo"], r["salt_hi"]) for r in failed] == [(0, 1)]
+
+    esc = {(r["a"], r["b"])
+           for r in escalation_pairs(salted, verified, cfg).collect()}
+    assert (8, 35) in esc                         # remediation RECOVERS it
+    # bounded: only cross-salt member pairs of the failed bucket
+    cross_all = {(min(x, y), max(x, y))
+                 for x in (115, 75, 35) for y in (199, 184, 8)}
+    assert esc == cross_all
+
+    # ...and the recovered pair PASSES the real cascade when the split
+    # dups are genuinely identical
+    from nise_dedup.signatures import compute_signatures
+    from nise_dedup.verify import verify_pairs
+    text = "def feature(x):\n    return x * 31 + 7\n" * 30
+    uniq = spark.createDataFrame([(8, text), (35, text)],
+                                 "file_id long, content string")
+    sigs = compute_signatures(uniq, DedupConfig())
+    pair = spark.createDataFrame([(8, 35)], "a long, b long")
+    out = verify_pairs(pair, sigs, uniq, DedupConfig()).collect()
+    assert len(out) == 1 and out[0]["passed"]
+
+
+def test_escalation_oversize_bucket_skipped_and_counted(spark):
+    """No-silent-caps: a failed bucket above escalate_max_members skips the
+    cnt^2/2 member-pair wave and is COUNTED in the diagnostics row."""
+    from nise_dedup.lsh import (cross_rep_pairs, escalation_pairs,
+                                escalation_diag, salted_buckets)
+
+    members = [115, 75, 35, 199, 184, 8]
+    cfg = DedupConfig(bucket_cap=3, escalate_max_members=4)
+    salted = salted_buckets(_bands_df(spark, [(0, 7, members)]), cfg)
+    reps = {(r["a"], r["b"])
+            for r in cross_rep_pairs(salted, rep_k=2).collect()}
+    verified = spark.createDataFrame(
+        [(a, b, False) for a, b in sorted(reps)],
+        "a long, b long, passed boolean")
+    assert escalation_pairs(salted, verified, cfg).count() == 0
+    diag = escalation_diag(salted, verified, cfg).collect()[0]
+    assert diag["n_failed_salt_pairs"] == 1
+    assert diag["n_skipped_oversize"] == 1
+
+
+def test_escalation_quiet_when_reps_pass(spark):
+    """One passing rep pair per salt pair means NO escalation wave —
+    the common case must stay free."""
+    from nise_dedup.lsh import escalation_pairs, failed_salt_pairs, \
+        salted_buckets
+
+    members = [115, 75, 35, 199, 184, 8]
+    cfg = DedupConfig(bucket_cap=3)
+    salted = salted_buckets(_bands_df(spark, [(0, 7, members)]), cfg)
+    verified = spark.createDataFrame([(115, 199, True)],
+                                     "a long, b long, passed boolean")
+    assert failed_salt_pairs(salted, verified, cfg.rep_k).count() == 0
+    assert escalation_pairs(salted, verified, cfg).count() == 0

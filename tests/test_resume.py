@@ -217,3 +217,73 @@ def test_incremental_pipeline_kill_and_resume(spark, tmp_path, monkeypatch):
     udirs = sorted(os.listdir(os.path.join(ckpt, "uniq", "data")))
     assert [d for d in udirs if d.startswith("part_bucket=")] == \
         ["part_bucket=0", "part_bucket=1", "part_bucket=2"]
+
+
+def test_incremental_toggle_recomputes_layout(spark, tmp_path):
+    """ADVICE r4 (medium): `incremental_buckets` is execution-only in the
+    config hash but changes the persisted uniq/signatures LAYOUT. Toggling
+    it between runs over the same checkpoint must recompute those stages —
+    the round-4 formulation reused the old flat uniq and
+    `uniq.where(part_bucket == b)` raised AnalysisException on exactly the
+    kill-then-resume path the feature advertises; the reverse toggle
+    leaked a stray part_bucket column into downstream frames."""
+    rows = C.generate("tiny", seed=42)
+    df = spark.createDataFrame(C.to_pandas(rows))
+    ckpt = str(tmp_path / "ck")
+
+    flat = DedupConfig(shuffle_partitions=8)
+    plain = _clusters(run_pipeline(spark, df, flat, ckpt=ckpt,
+                                   collect_metrics=False))
+
+    # toggle ON over the same checkpoint: must not die, must not reuse the
+    # flat uniq, clusters identical
+    inc = DedupConfig(shuffle_partitions=8, incremental_buckets=3)
+    res = run_pipeline(spark, df, inc, ckpt=ckpt, collect_metrics=False)
+    assert _clusters(res) == plain
+    udirs = os.listdir(os.path.join(ckpt, "uniq", "data"))
+    assert any(d.startswith("part_bucket=") for d in udirs)
+
+    # toggle OFF again: flat layout restored, no stray part_bucket column
+    res2 = run_pipeline(spark, df, flat, ckpt=ckpt, collect_metrics=False)
+    assert _clusters(res2) == plain
+    from nise_dedup.io import read_stage
+    for stage in ("uniq", "signatures"):
+        assert "part_bucket" not in read_stage(spark, ckpt, stage).columns
+
+
+def test_bucket_journal_detects_corrupted_slice(spark, tmp_path):
+    """ADVICE r4 (medium): out-of-band corruption INSIDE a committed
+    bucket must recompute that bucket on resume — the journal records each
+    bucket's row count and re-verifies it, so a complete-looking journal
+    can no longer republish a corrupted stage as done."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nise_dedup.io import run_stage_buckets
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    log: list[int] = []
+
+    def fn(b):
+        log.append(b)
+        return base.where(F.pmod("k", F.lit(4)) == b)
+
+    ckpt = str(tmp_path / "ck")
+    out = run_stage_buckets(spark, ckpt, "h1", "s", 4, fn)
+    want = sorted(map(tuple, out.collect()))
+    assert log == [0, 1, 2, 3]
+
+    # corrupt bucket 1 out-of-band: delete one of its part files AND the
+    # stage manifest's row count no longer reconciles
+    bdir = os.path.join(ckpt, "s", "data", "part_bucket=1")
+    parts = glob.glob(os.path.join(bdir, "part-*"))
+    assert parts
+    for p in parts:
+        os.remove(p)
+
+    log.clear()
+    out2 = run_stage_buckets(spark, ckpt, "h1", "s", 4, fn)
+    assert log == [1]                  # ONLY the corrupted bucket recomputed
+    assert sorted(map(tuple, out2.collect())) == want
