@@ -34,6 +34,13 @@ def _build(cpus: int):
     from nise_dedup.config import DedupConfig
     from nise_dedup.session import build_session
     cfg = DedupConfig(shuffle_partitions=max(2 * cpus, 16))
+    # $NISE_CFG_OVERRIDES: JSON dict of DedupConfig field overrides — the
+    # forced-formulation lever for A/B runs (e.g. co-shuffle in its own
+    # regime, VERDICT r4 next #3: '{"deep_coshuffle_pairs": 1}')
+    ov = os.environ.get("NISE_CFG_OVERRIDES")
+    if ov:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **json.loads(ov))
     return build_session(master=f"local[{cpus}]", cfg=cfg), cfg
 
 
@@ -133,12 +140,27 @@ def run_dedup_only(corpus_path: str, cpus: int, ckpt: str = "") -> dict:
 
     corpus = read_corpus(spark, corpus_path).persist()
     n = corpus.count()          # warm: JVM + input cached out of the timing
+    inst = os.environ.get("NISE_BARRIERS") == "1"
+    if inst:
+        from nise_dedup import instrument
+        instrument.enable()
     t0 = time.time()
     res = run_pipeline(spark, corpus, cfg, ckpt=ckpt, collect_metrics=False)
-    n_out = res.clusters.count()
+    if inst:
+        from nise_dedup.instrument import barrier
+        with barrier("final_clusters_count"):
+            n_out = res.clusters.count()
+    else:
+        n_out = res.clusters.count()
     wall = time.time() - t0
     out = {"files": n, "rows_out": n_out, "wall_s": round(wall, 2),
            "files_per_sec": round(n / wall, 1), "cpus": cpus}
+    if inst:
+        # barrier attribution (VERDICT r4 next #1): ordered driver-barrier
+        # log — names, start offsets, durations — so the serial term is a
+        # sum of NAMED line items, not an Amdahl residual
+        out["barriers"] = instrument.disable()
+        out["barrier_total_s"] = round(sum(b["s"] for b in out["barriers"]), 2)
     if ckpt:
         stages = {}
         for s in ["ingest", "uniq", "signatures", "cand_pairs",
@@ -155,6 +177,12 @@ def run_dedup_only(corpus_path: str, cpus: int, ckpt: str = "") -> dict:
 def _read_steal() -> int:
     with open("/proc/stat") as f:
         return int(f.readline().split()[8])
+
+
+# Physical upper bound for an n -> 4n aggregate-throughput ratio: readings
+# above it mean the LOW-side baseline was throttled while measured, i.e.
+# the probe itself is corrupt (VERDICT r4 next #2).
+CEIL_MAX = 4.0
 
 
 def _burn(_):
@@ -213,15 +241,24 @@ def _qualified_ceilings(n_lo: int, n_hi: int) -> dict:
     for i in range(max(1, retries)):
         g = _raw_cpu_ceiling(n_lo, n_hi, _matmul)
         attempts.append(round(g, 3))
-        if best is None or g > best["ceil_gemm"]:
+        # SANITY BOUND (VERDICT r4 next #2): a 2->8-worker ratio > 4.0x is
+        # physically impossible — it means the n_lo BASELINE was itself
+        # throttled mid-measure. Such a reading is a corrupted measurement:
+        # it neither qualifies the window nor counts as the recorded
+        # ceiling (round 4 stamped qualified=True on a 10.68x artifact and
+        # only ADDENDUM prose corrected the record).
+        if g <= CEIL_MAX and (best is None or g > best["ceil_gemm"]):
             best = {"ceil_gemm": g,
                     "ceil_alu": _raw_cpu_ceiling(n_lo, n_hi, _burn)}
-        if g >= want:
+        if want <= g <= CEIL_MAX:
             break
         if i + 1 < retries:
             time.sleep(sleep_s)
+    if best is None:   # every attempt corrupted (>4x): record the floor,
+        best = {"ceil_gemm": min(attempts),        # clearly NOT qualified
+                "ceil_alu": _raw_cpu_ceiling(n_lo, n_hi, _burn)}
     best.update({"ceil_attempts": attempts, "ceil_required": want,
-                 "qualified": attempts[-1] >= want or max(attempts) >= want})
+                 "qualified": any(want <= a <= CEIL_MAX for a in attempts)})
     return best
 
 
@@ -229,7 +266,18 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
                   size: str) -> dict:
     """Measure one N vs 4N pair (cached per (size, n_lo) in /tmp so a
     re-render does not re-run 40 minutes of benchmarks; delete the cache
-    file to force a fresh measurement)."""
+    file to force a fresh measurement).
+
+    Per-RUN window tagging (VERDICT r4 next #2): the GEMM ceiling is
+    re-probed immediately before EVERY run (not once per pair) and each
+    run records its pre-probe ratio + its own hypervisor-steal delta, so
+    a run is mechanically classifiable as clean-window
+    (``window_ok``: probe in [NISE_CEIL_MIN, 4.0] AND steal <
+    $NISE_CLEAN_STEAL jiffies). The pair keeps attempting interleaved
+    couples until each level holds ``reps`` CLEAN runs or the attempt
+    budget ($NISE_MAX_COUPLES, default 2*reps) runs out; medians are then
+    computed over the clean subset when it is large enough (see
+    _render_pair), with every attempt kept on the books."""
     import shutil
     import tempfile
 
@@ -242,9 +290,17 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
     qual = _qualified_ceilings(n_lo, n_hi)
     ceil_alu = qual["ceil_alu"]
     ceil_gemm = qual["ceil_gemm"]
+    want = float(os.environ.get("NISE_CEIL_MIN", "3.0"))
+    clean_steal = int(os.environ.get("NISE_CLEAN_STEAL", "5000"))
+    max_couples = int(os.environ.get("NISE_MAX_COUPLES", str(2 * reps)))
 
     def one_run(cpus: int, ckpt: str = "") -> dict:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        # barrier attribution rides along on every un-checkpointed run
+        # (VERDICT r4 next #1) — the LOG is None fast path makes the
+        # instrumented-off delta unmeasurable, and carrying it always
+        # gives flat-vs-scaling barrier medians per level for free
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   NISE_BARRIERS="0" if ckpt else "1")
         args = [sys.executable, os.path.abspath(__file__),
                 "--dedup-only", corpus_path]
         if ckpt:
@@ -256,10 +312,21 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
         r["steal_jiffies"] = _read_steal() - s0
         return r
 
+    def n_clean(rs):
+        return sum(1 for r in rs if r.get("window_ok"))
+
     runs: dict = {str(n_lo): [], str(n_hi): []}
-    for _ in range(reps):
+    for _couple in range(max(reps, max_couples)):
+        if (n_clean(runs[str(n_lo)]) >= reps
+                and n_clean(runs[str(n_hi)]) >= reps):
+            break
         for cpus in (n_lo, n_hi):          # interleaved ABAB...
-            runs[str(cpus)].append(one_run(cpus))
+            g = round(_raw_cpu_ceiling(n_lo, n_hi, _matmul), 3)
+            r = one_run(cpus)
+            r["ceil_gemm_pre"] = g
+            r["window_ok"] = (want <= g <= CEIL_MAX
+                              and r["steal_jiffies"] < clean_steal)
+            runs[str(cpus)].append(r)
 
     # per-stage attribution: one instrumented run per level (ckpt writes
     # add parquet I/O -> reported separately, never in the medians)
@@ -274,6 +341,7 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
               "ceil_alu": ceil_alu, "ceil_gemm": ceil_gemm,
               "ceil_attempts": qual["ceil_attempts"],
               "ceil_required": qual["ceil_required"],
+              "clean_steal_max": clean_steal,
               "qualified": qual["qualified"]}
     with open(cache, "w") as f:
         json.dump(result, f)
@@ -284,17 +352,61 @@ def _render_pair(p: dict) -> tuple[str, dict]:
     import statistics
     n_lo, n_hi = p["n_lo"], p["n_hi"]
     runs = p["runs"]
-    med = {c: statistics.median(r["files_per_sec"] for r in runs[str(c)])
+    # clean-window medians when BOTH levels carry >= 2 window_ok runs
+    # (per-run tagging, VERDICT r4 next #2); all-runs medians otherwise —
+    # the basis is stated on the books either way
+    clean = {c: [r for r in runs[str(c)] if r.get("window_ok")]
+             for c in (n_lo, n_hi)}
+    use_clean = all(len(clean[c]) >= 2 for c in (n_lo, n_hi))
+    basis = clean if use_clean else {c: runs[str(c)] for c in (n_lo, n_hi)}
+    med = {c: statistics.median(r["files_per_sec"] for r in basis[c])
            for c in (n_lo, n_hi)}
     eff = (med[n_hi] / med[n_lo]) / 4.0
     stats = {"eff": eff, "med_lo": med[n_lo], "med_hi": med[n_hi],
-             "ceil_alu": p["ceil_alu"], "ceil_gemm": p["ceil_gemm"]}
+             "ceil_alu": p["ceil_alu"], "ceil_gemm": p["ceil_gemm"],
+             "median_basis": "clean-window" if use_clean else "all-runs",
+             "n_clean": {str(c): len(clean[c]) for c in (n_lo, n_hi)}}
 
     def fmt(cpus):
-        return "<br>".join(
-            "{}s ({} f/s, steal {})".format(
-                r["wall_s"], r["files_per_sec"], r["steal_jiffies"])
-            for r in runs[str(cpus)])
+        out = []
+        for r in runs[str(cpus)]:
+            tag = ""
+            if "window_ok" in r:
+                tag = (" ✓" if r["window_ok"]
+                       else " ✗(pre-probe {}x)".format(
+                           r.get("ceil_gemm_pre", "?")))
+            out.append("{}s ({} f/s, steal {}{})".format(
+                r["wall_s"], r["files_per_sec"], r["steal_jiffies"], tag))
+        return "<br>".join(out)
+
+    def barrier_meds(cpus):
+        # a name can occur several times per run (cc_sig_agg once per CC
+        # batch): sum within the run first, then median across runs
+        per_run = []
+        for r in basis[cpus]:
+            if r.get("barriers"):
+                tot: dict[str, float] = {}
+                for b in r["barriers"]:
+                    tot[b["name"]] = tot.get(b["name"], 0.0) + b["s"]
+                per_run.append(tot)
+        names = {n for t in per_run for n in t}
+        return {n: statistics.median(t.get(n, 0.0) for t in per_run)
+                for n in names} if per_run else {}
+
+    bm_lo, bm_hi = barrier_meds(n_lo), barrier_meds(n_hi)
+    barrier_rows, fitted_serial = [], 0.0
+    for name in sorted(set(bm_lo) | set(bm_hi),
+                       key=lambda n: -bm_lo.get(n, 0.0)):
+        lo, hi = bm_lo.get(name, 0.0), bm_hi.get(name, 0.0)
+        # two-point Amdahl fit per barrier: wall(c) = S + P/c
+        pb = max(0.0, (lo - hi) / (1 / n_lo - 1 / n_hi))
+        sb = max(0.0, lo - pb / n_lo)
+        fitted_serial += sb
+        barrier_rows.append(
+            f"| {name} | {lo:.2f} | {hi:.2f} | {sb:.2f} |")
+    stats["fitted_serial_s"] = round(fitted_serial, 2)
+    barrier_table = (chr(10).join(barrier_rows) if barrier_rows
+                     else "| (no instrumented runs) | - | - | - |")
 
     sr = p["stage_runs"]
     stage_rows = []
@@ -323,7 +435,12 @@ hypervisor grants bandwidth): GEMM attempts {p.get('ceil_attempts', '[]')}
 against required >= {p.get('ceil_required', '-')}x —
 **window {'QUALIFIED' if p.get('qualified') else 'NOT qualified (best attempt used; interpret efficiency against the recorded ceiling)'}**.
 
-| parallelism | runs (wall, throughput, steal) | median files/sec |
+Every run is tagged with its own window state (pre-run GEMM probe in
+[{p.get('ceil_required', 3.0)}, {CEIL_MAX}] AND steal <
+{p.get('clean_steal_max', '-')} jiffies → ✓). **Medians below use the
+{stats['median_basis']} basis** ({stats['n_clean']} clean runs per level).
+
+| parallelism | runs (wall, throughput, steal, window) | median files/sec |
 |---|---|---|
 | local[{n_lo}]  (N)  | {fmt(n_lo)} | {med[n_lo]} |
 | local[{n_hi}] (4N) | {fmt(n_hi)} | {med[n_hi]} |
@@ -331,6 +448,15 @@ against required >= {p.get('ceil_required', '-')}x —
 **Scaling efficiency (thr_{n_hi}/thr_{n_lo})/4 = {eff:.3f}**; normalized to
 the ALU ceiling: {eff / (ca / 4):.3f}; normalized to the GEMM ceiling:
 {eff / (cg / 4):.3f}.
+
+Driver-barrier attribution (VERDICT r4 next #1 — medians over the same
+basis runs; per-barrier two-point Amdahl fit wall(c)=S+P/c, S column =
+the serial part; their sum **{stats['fitted_serial_s']:.1f} s** is the
+measured named serial term):
+
+| barrier | local[{n_lo}] s | local[{n_hi}] s | fitted serial s |
+|---|---|---|---|
+{barrier_table}
 
 Per-stage wall, one instrumented checkpointed run per level (ckpt parquet
 writes included, so instrumented totals exceed the headline walls;

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nise_dedup.instrument import barrier
+
 
 def _skew_join_min(rows: DataFrame, mins: DataFrame,
                    salts: int) -> DataFrame:
@@ -235,14 +237,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         # (CollectLimit evaluates incrementally), so on the big path the
         # persist cache is only partially filled — the first signature agg
         # below touches every partition and completes the fill (ADVICE r4).
-        head = base.limit(small_graph + 1).toPandas()
+        with barrier("cc_probe_collect"):
+            head = base.limit(small_graph + 1).toPandas()
         if len(head) <= small_graph:
             try:
                 stats["driver_path"] = True
                 if head.empty:
                     return spark.createDataFrame(
                         [], "node long, component long")
-                return _driver_union_find(spark, head)
+                with barrier("cc_driver_uf"):
+                    return _driver_union_find(spark, head)
             finally:
                 base.unpersist()
 
@@ -256,11 +260,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     # plan-depth probe that decided whether to skip it string-parsed
     # private `_jdf` internals (VERDICT r4 wrong #2 / next #8); on a warm
     # cache the copy never costs enough to justify the private API.
-    prev, maxdeg = _sig(base, both_dirs=True)
+    with barrier("cc_sig_agg"):
+        prev, maxdeg = _sig(base, both_dirs=True)
     if prev[0] == 0:
         base.unpersist()
         return spark.createDataFrame([], "node long, component long")
-    edges = base.localCheckpoint(eager=True)
+    with barrier("cc_input_ckpt"):
+        edges = base.localCheckpoint(eager=True)
     base.unpersist()
 
     it = 0
@@ -283,7 +289,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             # by the batch's signature action below)
             nxt = _small_star(_large_star(nxt, salts),
                               salts).localCheckpoint(eager=False)
-        cur, maxdeg = _sig(nxt)  # the batch's ONE action: check+materialize
+        with barrier("cc_sig_agg"):
+            cur, maxdeg = _sig(nxt)  # batch's ONE action: check+materialize
         it += steps
         converged = cur == prev
         edges, prev = nxt, cur

@@ -103,11 +103,21 @@ class DedupConfig:
                                  # (whose candidate set is the uncapped
                                  # bucket all-pairs superset). SEMANTIC —
                                  # in config_hash.
-    escalate_max_members: int = 4096
+    escalate_max_members: int = 512
                                  # escalation bound: buckets larger than
                                  # this skip the member-pair wave (cost
-                                 # ~cnt^2/2) and are reported in metrics —
-                                 # never silently (SURVEY §7.3 rule)
+                                 # ~cnt^2/2 pairs through the est sketch
+                                 # join) and are reported in metrics —
+                                 # never silently (SURVEY §7.3 rule).
+                                 # 512 = 2x bucket_cap: covers the marginal
+                                 # salting regime (nsplits=2, where a split
+                                 # dup pair is most likely and the wave is
+                                 # <=131k pairs/bucket) while skipping
+                                 # boilerplate-dominated hot buckets whose
+                                 # cross pairs are overwhelmingly non-dups
+                                 # (measured: 4096 admitted ~1M pairs on
+                                 # the 200k bench corpus, ~60s of wave-2
+                                 # work for zero recovered dups)
 
     # --- execution ---
     arrow_batch_rows: int = 2048  # small batches: `content` can be megabytes

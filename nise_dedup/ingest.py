@@ -127,18 +127,32 @@ def collapse_exact(files: DataFrame) -> DataFrame:
 
 def uniq_with_content(hashed: DataFrame) -> DataFrame:
     """The `uniq` relation (SURVEY §1.2): canonical rows with content,
-    ready for the signature stage — ONE hash aggregate over the hashed
-    ingest relation. Map-side partial aggregation keeps a single content
-    value per sha per map task, so content shuffles at most once and never
-    joins (the round-1 formulation was a groupBy PLUS a join back).
-    min(file_id) is the deterministic canonical representative; content and
-    n_bytes are constant within a sha group, so first() is deterministic.
+    ready for the signature stage.
+
+    WINNERS-JOIN formulation (round 5): the canonical representative per
+    sha is a metadata-only hash aggregate (sha, min file_id) — map-side
+    partial min, 40-byte shuffle rows — and content rows are then
+    FILTERED to the winners with a semi-join-shaped inner join on the
+    (sha, file_id) pair. When the winner table fits the broadcast
+    threshold (AQE decides from its runtime size), content never enters
+    an exchange at all: the round-1..4 groupBy(sha).agg(first(content))
+    shuffled every distinct content value through the aggregate exchange
+    (~400 MB at the 200k bench corpus — the dominant flat term inside the
+    signature-fill barrier on this one-disk box, barrier-attributed in
+    BENCH/BASELINE.md r5). Above broadcast size the join degrades to a
+    co-shuffle on the composite key — content moves once, exactly what
+    the old aggregate paid, so the 100-TB plan is never worse.
+
+    Output is row-identical to the aggregate formulation: file_id is the
+    deterministic min per sha; content and n_bytes are constant within a
+    sha group. NOTE the plan references ``hashed`` twice (winner agg +
+    content filter) — callers must hand in a persisted/checkpointed
+    relation (the pipeline always does) or the source scans twice.
     """
-    return (hashed
-            .groupBy("content_sha256")
-            .agg(F.min("file_id").alias("file_id"),
-                 F.first("content").alias("content"),
-                 F.first("n_bytes").alias("n_bytes"))
+    winners = (hashed
+               .groupBy("content_sha256")
+               .agg(F.min("file_id").alias("file_id")))
+    return (hashed.join(winners, on=["content_sha256", "file_id"])
             .select("file_id", "content_sha256", "content", "n_bytes"))
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nise_dedup.config import DedupConfig
+from nise_dedup.instrument import barrier
 
 
 def explode_bands(signatures: DataFrame) -> DataFrame:
@@ -236,8 +237,9 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
     # nothing-salted case (VERDICT r4 next #1: every driver barrier is
     # serial time).
     salted = salted_buckets(bands, cfg).persist()
-    n_salted_rows = salted.agg(
-        F.sum((F.col("nsplits") > 1).cast("long"))).first()[0] or 0
+    with barrier("l_salted_fill"):
+        n_salted_rows = salted.agg(
+            F.sum((F.col("nsplits") > 1).cast("long"))).first()[0] or 0
     if stats is not None:
         stats["n_salted_rows"] = int(n_salted_rows)
     if handles is not None:

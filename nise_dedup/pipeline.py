@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nise_dedup import cc, ingest, lsh, verify
+from nise_dedup.instrument import barrier
 from nise_dedup.config import DedupConfig
 from nise_dedup.io import (read_stage, run_stage, run_stage_buckets,
                            write_stage)
@@ -126,7 +127,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         df = fn()
         if eager:
             df = df.persist()
-            df.count()
+            with barrier(f"p_gate_{name}"):
+                df.count()
             stage_caches.append(df)
         return df
 
@@ -164,8 +166,9 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     # 8-byte ids after map-side partial aggregation. On the (rare)
     # collision path, deterministically re-salt and republish the stage so
     # resume sees resolved ids.
-    row = files.agg(F.count("*").alias("n"),
-                    F.countDistinct("file_id").alias("d")).first()
+    with barrier("p_files_agg"):
+        row = files.agg(F.count("*").alias("n"),
+                        F.countDistinct("file_id").alias("d")).first()
     n_files = row["n"]
     if row["n"] != row["d"]:
         resolved = ingest.resolve_id_collisions(hashed)
@@ -243,7 +246,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         stage_caches.append(uniq)
         signatures = compute_signatures(uniq, cfg).persist()
         stage_caches.append(signatures)
-        signatures.count()     # fills uniq AND signatures
+        with barrier("p_signatures_fill"):
+            signatures.count()     # fills uniq AND signatures
         hashed.unpersist()
         stage_caches.remove(hashed)
 
@@ -301,7 +305,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         esc = (lsh.escalation_pairs(salted, v1, cfg)
                .join(cand.select("a", "b"), on=["a", "b"], how="left_anti")
                .persist())
-        esc_info["n_escalation_pairs"] = esc.count()   # fills v1 AND esc
+        with barrier("p_escalation_count"):
+            esc_info["n_escalation_pairs"] = esc.count()  # fills v1 AND esc
         if esc_info["n_escalation_pairs"] == 0:
             esc.unpersist()
             return v1

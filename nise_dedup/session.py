@@ -38,4 +38,13 @@ def build_session(master: str | None = None,
                 os.environ.get("NISE_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # $NISE_SPARK_CONF: JSON dict of extra spark confs, applied LAST — the
+    # experiment lever for A/B runs (e.g. forcing the unbroadcastable
+    # regime with {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    # VERDICT r4 next #3) without a code fork
+    extra = os.environ.get("NISE_SPARK_CONF")
+    if extra:
+        import json
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nise_dedup.config import DedupConfig
+from nise_dedup.instrument import barrier
 
 
 def jaccard_expr(sh_a, sh_b):
@@ -332,8 +333,9 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     # ONE action fills the (three-consumer) metadata cache AND measures the
     # residue for the adaptive formulation choice — a separate need.count()
     # would be a wasted sequential barrier
-    row = meta.agg(F.count("*").alias("n"),
-                   F.sum(deep_gate.cast("long")).alias("d")).first()
+    with barrier("v_meta_agg"):
+        row = meta.agg(F.count("*").alias("n"),
+                       F.sum(deep_gate.cast("long")).alias("d")).first()
     n_deep = row["d"] or 0
     if handles is not None:
         handles.append(meta)
