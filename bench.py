@@ -144,6 +144,7 @@ def run_dedup_only(corpus_path: str, cpus: int, ckpt: str = "") -> dict:
     if inst:
         from nise_dedup import instrument
         instrument.enable()
+    steal0 = _read_steal()      # in-run steal: the timed span only
     t0 = time.time()
     res = run_pipeline(spark, corpus, cfg, ckpt=ckpt, collect_metrics=False)
     if inst:
@@ -154,7 +155,8 @@ def run_dedup_only(corpus_path: str, cpus: int, ckpt: str = "") -> dict:
         n_out = res.clusters.count()
     wall = time.time() - t0
     out = {"files": n, "rows_out": n_out, "wall_s": round(wall, 2),
-           "files_per_sec": round(n / wall, 1), "cpus": cpus}
+           "files_per_sec": round(n / wall, 1), "cpus": cpus,
+           "steal_in_run": _read_steal() - steal0}
     if inst:
         # barrier attribution (VERDICT r4 next #1): ordered driver-barrier
         # log — names, start offsets, durations — so the serial term is a
@@ -387,6 +389,8 @@ def _render_pair(p: dict) -> tuple[str, dict]:
             if r.get("barriers"):
                 tot: dict[str, float] = {}
                 for b in r["barriers"]:
+                    if "value" in b:        # note() rows: facts, not time
+                        continue
                     tot[b["name"]] = tot.get(b["name"], 0.0) + b["s"]
                 per_run.append(tot)
         names = {n for t in per_run for n in t}

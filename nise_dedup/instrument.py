@@ -42,6 +42,16 @@ def disable() -> list:
     return out
 
 
+def note(name: str, value) -> None:
+    """Attach a scalar fact (a count, a chosen branch) to the log — shows
+    up as a zero-duration row so run comparisons can see WHY a plan
+    diverged (e.g. the deep-residue count behind a formulation choice)."""
+    if LOG is None:
+        return
+    LOG.append({"name": name, "t0": round(time.time() - _T_ENABLE, 3),
+                "s": 0.0, "value": value})
+
+
 @contextmanager
 def barrier(name: str):
     """Wrap ONE sequential driver action (an eager collect/count/first/

@@ -143,7 +143,8 @@ BUCKET_JOURNAL = "buckets.jsonl"
 def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
                       stage: str, n_buckets: int,
                       bucket_fn: Callable[[int], DataFrame],
-                      extra_manifest: dict | None = None) -> DataFrame:
+                      extra_manifest: dict | None = None,
+                      require_manifest: dict | None = None) -> DataFrame:
     """F5b — per-partition incremental resume (SURVEY §3.2's promised
     granularity below the stage boundary; VERDICT r3 next #5).
 
@@ -185,9 +186,17 @@ def run_stage_buckets(spark: SparkSession, ckpt: str, config_hash: str,
 
     if stage_complete(ckpt, stage, config_hash):
         try:
-            df = _read()
-            if df.count() == read_manifest(ckpt, stage)["rows"]:
-                return df
+            m = read_manifest(ckpt, stage)
+            # layout pinning, same contract as run_stage (ADVICE r4): a
+            # stage written FLAT under the same config hash must not be
+            # reused by a bucketed resume (and vice versa) — the caller
+            # states what the manifest must carry
+            layout_ok = all(m.get(k) == v
+                            for k, v in (require_manifest or {}).items())
+            if layout_ok:
+                df = _read()
+                if df.count() == m["rows"]:
+                    return df
         except Exception:
             pass   # unreadable/partial data -> recompute below
     sdir = _stage_dir(ckpt, stage)

@@ -113,7 +113,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     cand_internals: list[DataFrame] = []    # salted-bucket cache (L2/L3)
     verify_internals: list[DataFrame] = []  # pair-metadata cache (V0)
 
-    def gate(name, fn, eager=True, lineage=True):
+    def gate(name, fn, eager=True, lineage=True,
+             extra_manifest=None, require_manifest=None):
         """Stage gate. Ckpt mode: always materialized via run_stage (the
         resumability contract). No-ckpt mode: stages with >1 downstream
         consumer are persisted EAGERLY (a lazy persist races cold inside the
@@ -123,7 +124,9 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         measured in BENCH/BASELINE.md r2) and at scale never materialize an
         intermediate nobody reads twice."""
         if ckpt:
-            return run_stage(spark, ckpt, ch, name, fn, lineage=lineage)
+            return run_stage(spark, ckpt, ch, name, fn, lineage=lineage,
+                             extra_manifest=extra_manifest,
+                             require_manifest=require_manifest)
         df = fn()
         if eager:
             df = df.persist()
@@ -264,58 +267,148 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         return lsh.candidate_pairs(bands, cfg, handles=cand_internals,
                                    stats=cand_stats)
     cand = gate("cand_pairs", _cand, eager=multi)
+    if not ckpt and not multi:
+        # LAZY plan truncation: the candidate list is referenced by wave
+        # 1's metadata join AND the escalation anti-join; as a raw plan the
+        # multi-stage LSH DAG is re-analyzed (and with AQE re-planned per
+        # stage) under every reference. The lazy localCheckpoint
+        # materializes once inside the first consuming action (wave 1's
+        # meta agg — no extra barrier) and every later reference plans
+        # against a flat LogicalRDD. Pair rows are 24 bytes — at 10^12-row
+        # scale the checkpoint is a fixed-width store, not a content copy.
+        cand = cand.localCheckpoint(eager=False)
 
-    esc_info = {"n_escalation_pairs": 0}
+    esc_holder: dict = {}
 
-    def _verified():
-        """Wave 1: the frozen cascade over every LSH candidate. Wave 2
-        (``cfg.escalate_failed_rep_pairs``, VERDICT r4 next #7): salt
-        pairs whose rep_k^2 rep chances ALL failed get their full
-        cross-salt member pairs verified through the SAME cascade —
+    def _wave2_pairs():
+        """Escalation candidate pairs (wave-2 input; VERDICT r4 next #7):
+        salt pairs whose rep_k^2 rep chances ALL failed get their full
+        cross-salt member pairs re-verified through the SAME cascade —
         without it a true dup split across salts of a heterogeneous
-        capped bucket stays silently disconnected. Wave 2 is data-
-        dependent on wave-1 verdicts, so it costs ONE extra barrier —
-        paid only when some bucket actually salted (the salted-row count
-        came free with the candidate stage's materializing agg; at
-        default caps salting needs a 256+ member bucket). The barrier is
-        the escalation-pair count: its plan reads the lazily-persisted v1
-        exactly once (one linear consumer fills a lazy persist safely —
-        the multi-branch race needs >1 reference in one action), so v1
-        caches as a side effect and no separate v1.count() is paid."""
-        v1 = verify.verify_pairs(cand, signatures, uniq, cfg,
-                                 handles=verify_internals)
+        capped bucket stays silently disconnected. Returns None when
+        escalation is off or provably irrelevant (nothing salted).
+
+        The failed-salt-pair decision needs rep-pair verdicts ONLY, so it
+        is fed a SEPARATELY-verified rep-pair table (tiny: <= rep_k^2
+        rows per salted sub-bucket pair, same frozen deterministic
+        cascade => verdicts identical to wave-1's rows for those pairs).
+        Round 4 derived it from wave 1 itself, which made the escalation
+        count barrier materialize the ENTIRE wave-1 cascade serially
+        before CC could start — barrier-attributed at 29s of the 80s
+        local[8] 200k run (82s of 170s at local[2]). With the decision
+        decoupled, wave 1 is referenced exactly once (the published
+        union) and the whole verify DAG stays lazy until CC's one
+        materializing action; the only added barriers are the rep
+        table's own (small) meta agg + count. The escalated pair list is
+        returned LAZY — its (metrics-only) count is taken in the metrics
+        section, not on the hot path."""
         if not cfg.escalate_failed_rep_pairs:
-            return v1
+            return None
         # the free salted-row signal: 0 rows in salted sub-buckets means no
         # cross-salt connectivity risk, hence no wave 2. On a ckpt resume
         # that skipped the cand stage the signal is absent — rebuild the
-        # salted frame (cached: wave 2 reads it up to 4 times).
+        # salted frame (cached: the rep/escalation path reads it 4 times).
         if cand_internals:
             if cand_stats.get("n_salted_rows", 0) == 0:
-                return v1
+                return None
             salted = cand_internals[0]
         else:
             salted = lsh.salted_buckets(
                 lsh.explode_bands(signatures), cfg).persist()
             stage_caches.append(salted)
             if salted.where(F.col("nsplits") > 1).limit(1).count() == 0:
-                return v1
-        v1 = v1.persist()
-        stage_caches.append(v1)
-        esc = (lsh.escalation_pairs(salted, v1, cfg)
-               .join(cand.select("a", "b"), on=["a", "b"], how="left_anti")
-               .persist())
-        with barrier("p_escalation_count"):
-            esc_info["n_escalation_pairs"] = esc.count()  # fills v1 AND esc
-        if esc_info["n_escalation_pairs"] == 0:
-            esc.unpersist()
-            return v1
-        stage_caches.append(esc)
-        v2 = verify.verify_pairs(esc, signatures, uniq, cfg,
+                return None
+        # small bounded call: no meta-agg barrier, forced joined deep plan
+        # (rep pairs ~ rep_k^2 per salted sub-bucket pair)
+        rep_verd = verify.verify_pairs(
+            lsh.cross_rep_pairs(salted, cfg.rep_k), signatures, uniq, cfg,
+            handles=verify_internals, eager_meta=False,
+            formulation="joined").persist()
+        stage_caches.append(rep_verd)
+        with barrier("p_rep_verify"):
+            rep_verd.count()
+        return (lsh.escalation_pairs(salted, rep_verd, cfg)
+                .join(cand.select("a", "b"), on=["a", "b"], how="left_anti"))
+
+    def _verified():
+        """Wave 1 (the frozen cascade over every LSH candidate) + wave 2
+        (see _wave2_pairs) in one frame. Wave 2 may be EMPTY (all rep
+        pairs passed) — verifying an empty pair list is a no-op plan, so
+        no count barrier decides this on the hot path.
+
+        The rep-verify chain and wave 1's meta agg are INDEPENDENT given
+        the salted/signature/uniq caches (all hot by now), so they run
+        in overlapped Spark jobs from two driver threads — the pair of
+        barriers costs max() instead of sum() (VERDICT r4 next #1; both
+        only read caches, and Spark job submission is thread-safe)."""
+        import threading
+
+        box: dict = {}
+
+        def rep_chain():
+            try:
+                box["esc"] = _wave2_pairs()
+            except BaseException as e:     # re-raised on the main thread
+                box["err"] = e
+        t = threading.Thread(target=rep_chain, daemon=True)
+        t.start()
+        v1 = verify.verify_pairs(cand, signatures, uniq, cfg,
                                  handles=verify_internals)
+        t.join()
+        if "err" in box:
+            raise box["err"]
+        esc = box.get("esc")
+        if esc is None:
+            return v1
+        esc_holder["df"] = esc
+        # wave 2 is bounded by escalate_max_members — small: skip its
+        # meta barrier, force the joined deep plan
+        v2 = verify.verify_pairs(esc, signatures, uniq, cfg,
+                                 handles=verify_internals,
+                                 eager_meta=False, formulation="joined")
         return v1.unionByName(v2)
 
-    verified = gate("verified_pairs", _verified, eager=multi)
+    if ckpt and cfg.incremental_buckets > 0:
+        # per-partition incremental resume for the DOMINANT stage
+        # (VERDICT r4 next #4: verified_pairs was 723s of the 1097s 1M
+        # local[2] run — a kill there lost the most work). Wave 1 commits
+        # per pair-bucket (pmod(xxhash64(a), B)): the bucket filter pushes
+        # down to the cand-stage parquet scan, so each bucket verifies
+        # only its pair slice and a killed run resumes from the first
+        # missing bucket. Wave 2 is escalation — data-dependent on ALL
+        # wave-1 verdicts, so it lands as its own (tiny, whole-stage-
+        # gated) checkpoint stage computed from the completed wave-1
+        # parquet; the published `verified` frame is the union, identical
+        # to the flat stage's contents. vp_buckets pins the layout both
+        # ways: a flat verified_pairs stage under the same config hash
+        # already CONTAINS wave-2 rows, so reusing it here would verify
+        # escalation pairs twice (duplicate rows); the pin recomputes
+        # instead.
+        B = cfg.incremental_buckets
+        w1 = run_stage_buckets(
+            spark, ckpt, ch, "verified_pairs", B,
+            lambda b: verify.verify_pairs(
+                cand.where(F.pmod(F.xxhash64("a"), F.lit(B)) == b),
+                signatures, uniq, cfg, handles=verify_internals),
+            extra_manifest={"vp_buckets": B},
+            require_manifest={"vp_buckets": B})
+
+        def _esc_stage():
+            esc = _wave2_pairs()
+            if esc is None:     # empty stage: Spark writes a schema-only
+                return spark.createDataFrame([], w1.schema)  # parquet file
+            esc_holder["df"] = esc
+            return verify.verify_pairs(esc, signatures, uniq, cfg,
+                                       handles=verify_internals,
+                                       eager_meta=False,
+                                       formulation="joined")
+        w2 = run_stage(spark, ckpt, ch, "verified_pairs_esc", _esc_stage,
+                       lineage=False)
+        verified = w1.unionByName(w2)
+    else:
+        verified = gate("verified_pairs", _verified, eager=multi,
+                        extra_manifest={"vp_buckets": 0},
+                        require_manifest={"vp_buckets": 0})
     # salted-bucket cache: fully consumed once the pair-metadata table is
     # materialized (inside verify_pairs, in both eager and lazy modes)
     drain(cand_internals)
@@ -350,8 +443,10 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             "n_rep_pairs_failed": hrow["n_rep_pairs_failed"] or 0,
             # 0 when no bucket salted, every rep pair passed, or the
             # verified stage was resumed from checkpoint (wave already
-            # folded into the stage parquet)
-            "n_escalation_pairs": esc_info["n_escalation_pairs"],
+            # folded into the stage parquet). Counted HERE (metrics mode
+            # only) — the hot path keeps the escalated list lazy.
+            "n_escalation_pairs": (esc_holder["df"].count()
+                                   if "df" in esc_holder else 0),
         })
     if ckpt:
         bands = lsh.explode_bands(signatures)

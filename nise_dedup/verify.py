@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nise_dedup import instrument
 from nise_dedup.config import DedupConfig
 from nise_dedup.instrument import barrier
 
@@ -288,7 +289,9 @@ def _deep_mapper(cfg: DedupConfig):
 
 def verify_pairs(cand: DataFrame, signatures: DataFrame,
                  uniq: DataFrame, cfg: DedupConfig,
-                 handles: list | None = None) -> DataFrame:
+                 handles: list | None = None,
+                 eager_meta: bool = True,
+                 formulation: str = "auto") -> DataFrame:
     """V4 — cascade (see DedupConfig). Returns
     DF[a, b, est, jaccard, hamming, lcs_len, passed];
     jaccard/lcs_len = -1 where the cascade never computed them.
@@ -297,7 +300,22 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     ``uniq`` carries (file_id, content) for the deep residue only.
     ``handles``: internal persisted DataFrames are appended here so the
     caller can unpersist them once the verified table is materialized.
+
+    ``eager_meta=False`` skips the pair-metadata agg barrier (one
+    sequential driver action per call — barrier-attributed at 5-8 s per
+    occurrence on the 200k bench corpus, r5): the meta persist then
+    fills lazily on first consumption, and because the output plan
+    references meta twice the fill can race cold and compute the meta
+    plan twice. Only for SMALL calls (rep pairs, the escalation wave —
+    both bounded by the salting caps) where double-computing meta is
+    cheaper than a barrier; the residue count is then unknown, so
+    ``formulation`` must name the deep plan explicitly ("joined" for
+    those bounded calls — AQE still shuffle-joins if the residue
+    surprises upward).
     """
+    if not eager_meta and formulation == "auto":
+        raise ValueError("eager_meta=False requires an explicit "
+                         "formulation (no residue count to adapt on)")
     m_eff = min(cfg.est_components, cfg.num_perm)
     meta_a = signatures.select(F.col("file_id").alias("a"),
                                F.col("simhash").alias("simhash_a"),
@@ -333,17 +351,25 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     # ONE action fills the (three-consumer) metadata cache AND measures the
     # residue for the adaptive formulation choice — a separate need.count()
     # would be a wasted sequential barrier
-    with barrier("v_meta_agg"):
-        row = meta.agg(F.count("*").alias("n"),
-                       F.sum(deep_gate.cast("long")).alias("d")).first()
-    n_deep = row["d"] or 0
+    if eager_meta:
+        with barrier("v_meta_agg"):
+            row = meta.agg(F.count("*").alias("n"),
+                           F.sum(deep_gate.cast("long")).alias("d")).first()
+        n_deep = row["d"] or 0
+        instrument.note("n_pairs", row["n"])
+        instrument.note("n_deep", n_deep)
+    else:
+        n_deep = 0      # unused: formulation is forced by the caller
     if handles is not None:
         handles.append(meta)
     need = meta.where(deep_gate).select("a", "b", "est")
 
     deep_schema = ("a long, b long, jaccard double, lcs_len long, "
                    "deep_pass boolean")
-    if n_deep < cfg.deep_coshuffle_pairs:
+    use_joined = (formulation == "joined"
+                  or (formulation == "auto"
+                      and n_deep < cfg.deep_coshuffle_pairs))
+    if use_joined:
         # JOINED formulation (module docstring): the pair list is small
         # enough that AQE broadcasts it — uniq content streams past the
         # build side without shuffling, and the only content movement is
