@@ -279,22 +279,61 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
     couples until each level holds ``reps`` CLEAN runs or the attempt
     budget ($NISE_MAX_COUPLES, default 2*reps) runs out; medians are then
     computed over the clean subset when it is large enough (see
-    _render_pair), with every attempt kept on the books."""
+    _render_pair), with every attempt kept on the books.
+
+    GATED EXTENSION (round 5): with $NISE_GATE=1, a cached pair whose
+    clean-run quota is unmet is EXTENDED instead of returned as-is
+    (restricted to the $NISE_EXTEND_PAIRS "size:n_lo,..." allowlist when
+    set), and runs are only LAUNCHED when a fresh probe sits inside the
+    window — otherwise the harness sleeps $NISE_GATE_SLEEP s and
+    re-probes, up to $NISE_EXTEND_WALL_S s. The r4 campaign burned its
+    whole couple budget inside closed windows (24/24 runs window_ok=false)
+    because launches were unconditional; gating spends wall-clock waiting
+    (cheap) instead of measuring through a throttled hypervisor (wasted).
+    Every launched attempt is still tagged and kept on the books, and the
+    cache is rewritten after every run so a killed campaign loses nothing."""
     import shutil
     import tempfile
 
     n_hi = 4 * n_lo
     cache = f"/tmp/nise_bench/scaling_{size}_{n_lo}.json"
-    if os.path.exists(cache):
-        with open(cache) as f:
-            return json.load(f)
-
-    qual = _qualified_ceilings(n_lo, n_hi)
-    ceil_alu = qual["ceil_alu"]
-    ceil_gemm = qual["ceil_gemm"]
     want = float(os.environ.get("NISE_CEIL_MIN", "3.0"))
     clean_steal = int(os.environ.get("NISE_CLEAN_STEAL", "5000"))
     max_couples = int(os.environ.get("NISE_MAX_COUPLES", str(2 * reps)))
+    gate = os.environ.get("NISE_GATE", "0") == "1"
+    allow = os.environ.get("NISE_EXTEND_PAIRS", "")
+    extendable = (not allow) or f"{size}:{n_lo}" in allow.split(",")
+
+    def n_clean(rs):
+        return sum(1 for r in rs if r.get("window_ok"))
+
+    def quota_met(res):
+        return all(n_clean(res["runs"][str(c)]) >= reps
+                   for c in (n_lo, n_hi))
+
+    result = None
+    if os.path.exists(cache):
+        with open(cache) as f:
+            result = json.load(f)
+        if not (gate and extendable and not quota_met(result)):
+            return result
+
+    if result is None:
+        qual = _qualified_ceilings(n_lo, n_hi)
+        result = {"n_lo": n_lo, "n_hi": n_hi,
+                  "runs": {str(n_lo): [], str(n_hi): []},
+                  "stage_runs": {},
+                  "ceil_alu": qual["ceil_alu"],
+                  "ceil_gemm": qual["ceil_gemm"],
+                  "ceil_attempts": qual["ceil_attempts"],
+                  "ceil_required": qual["ceil_required"],
+                  "clean_steal_max": clean_steal,
+                  "qualified": qual["qualified"]}
+    runs = result["runs"]
+
+    def save():
+        with open(cache, "w") as f:
+            json.dump(result, f)
 
     def one_run(cpus: int, ckpt: str = "") -> dict:
         # barrier attribution rides along on every un-checkpointed run
@@ -314,39 +353,63 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
         r["steal_jiffies"] = _read_steal() - s0
         return r
 
-    def n_clean(rs):
-        return sum(1 for r in rs if r.get("window_ok"))
+    def tagged_run(cpus: int, g: float) -> None:
+        r = one_run(cpus)
+        r["ceil_gemm_pre"] = g
+        r["window_ok"] = (want <= g <= CEIL_MAX
+                          and r["steal_jiffies"] < clean_steal)
+        runs[str(cpus)].append(r)
+        # an in-window probe also upgrades the pair-level window record
+        if want <= g <= CEIL_MAX:
+            result["qualified"] = True
+            result["ceil_attempts"].append(g)
+            if g > result["ceil_gemm"]:
+                result["ceil_gemm"] = g
+                result["ceil_alu"] = _raw_cpu_ceiling(n_lo, n_hi, _burn)
+        save()
 
-    runs: dict = {str(n_lo): [], str(n_hi): []}
-    for _couple in range(max(reps, max_couples)):
-        if (n_clean(runs[str(n_lo)]) >= reps
-                and n_clean(runs[str(n_hi)]) >= reps):
-            break
-        for cpus in (n_lo, n_hi):          # interleaved ABAB...
-            g = round(_raw_cpu_ceiling(n_lo, n_hi, _matmul), 3)
-            r = one_run(cpus)
-            r["ceil_gemm_pre"] = g
-            r["window_ok"] = (want <= g <= CEIL_MAX
-                              and r["steal_jiffies"] < clean_steal)
-            runs[str(cpus)].append(r)
+    if gate:
+        deadline = time.time() + float(
+            os.environ.get("NISE_EXTEND_WALL_S", "3600"))
+        gate_sleep = float(os.environ.get("NISE_GATE_SLEEP", "45"))
+        while not quota_met(result) and time.time() < deadline:
+            launched = False
+            for cpus in (n_lo, n_hi):      # interleaved when both unmet
+                if n_clean(runs[str(cpus)]) >= reps:
+                    continue
+                g = round(_raw_cpu_ceiling(n_lo, n_hi, _matmul), 3)
+                result.setdefault("gate_probes", []).append(g)
+                if not (want <= g <= CEIL_MAX):
+                    continue               # closed window: do not launch
+                tagged_run(cpus, g)
+                launched = True
+            if not launched:
+                time.sleep(gate_sleep)
+        # a gated FRESH pair must still put a baseline couple on the books
+        # even if no window ever opened (render needs >=1 run per level)
+        for cpus in (n_lo, n_hi):
+            if not runs[str(cpus)]:
+                tagged_run(cpus,
+                           round(_raw_cpu_ceiling(n_lo, n_hi, _matmul), 3))
+    else:
+        for _couple in range(max(reps, max_couples)):
+            if quota_met(result):
+                break
+            for cpus in (n_lo, n_hi):      # interleaved ABAB...
+                g = round(_raw_cpu_ceiling(n_lo, n_hi, _matmul), 3)
+                tagged_run(cpus, g)
 
     # per-stage attribution: one instrumented run per level (ckpt writes
-    # add parquet I/O -> reported separately, never in the medians)
-    stage_runs: dict = {}
-    for cpus in (n_lo, n_hi):
-        ck = tempfile.mkdtemp(prefix=f"nise_scale_ck{cpus}_")
-        stage_runs[str(cpus)] = one_run(cpus, ckpt=ck)
-        shutil.rmtree(ck, ignore_errors=True)
+    # add parquet I/O -> reported separately, never in the medians);
+    # skippable for long corpora via $NISE_STAGE_RUNS=0
+    if (not result.get("stage_runs")
+            and os.environ.get("NISE_STAGE_RUNS", "1") == "1"):
+        for cpus in (n_lo, n_hi):
+            ck = tempfile.mkdtemp(prefix=f"nise_scale_ck{cpus}_")
+            result["stage_runs"][str(cpus)] = one_run(cpus, ckpt=ck)
+            shutil.rmtree(ck, ignore_errors=True)
 
-    result = {"n_lo": n_lo, "n_hi": n_hi, "runs": runs,
-              "stage_runs": stage_runs,
-              "ceil_alu": ceil_alu, "ceil_gemm": ceil_gemm,
-              "ceil_attempts": qual["ceil_attempts"],
-              "ceil_required": qual["ceil_required"],
-              "clean_steal_max": clean_steal,
-              "qualified": qual["qualified"]}
-    with open(cache, "w") as f:
-        json.dump(result, f)
+    save()
     return result
 
 
@@ -414,15 +477,17 @@ def _render_pair(p: dict) -> tuple[str, dict]:
 
     sr = p["stage_runs"]
     stage_rows = []
-    for s in (sr[str(n_lo)].get("stage_wall_s") or {}):
+    for s in (sr.get(str(n_lo), {}).get("stage_wall_s") or {}):
         lo = sr[str(n_lo)]["stage_wall_s"].get(s)
-        hi = sr[str(n_hi)]["stage_wall_s"].get(s)
+        hi = sr.get(str(n_hi), {}).get("stage_wall_s", {}).get(s)
         sp = (round(lo / hi, 2) if lo and hi else "-")
         stage_rows.append(f"| {s} | {lo} | {hi} | {sp} |")
-    stage_table = chr(10).join(stage_rows)
+    stage_table = (chr(10).join(stage_rows) if stage_rows
+                   else "| (stage runs skipped) | - | - | - |")
 
     ca, cg = p["ceil_alu"], p["ceil_gemm"]
-    tot_lo, tot_hi = sr[str(n_lo)]["wall_s"], sr[str(n_hi)]["wall_s"]
+    tot_lo = sr.get(str(n_lo), {}).get("wall_s", "-")
+    tot_hi = sr.get(str(n_hi), {}).get("wall_s", "-")
     n_files = runs[str(n_lo)][0]["files"]
     md = f"""### local[{n_lo}] vs local[{n_hi}] — {n_files:,} files
 

@@ -124,15 +124,32 @@ class DedupConfig:
     shuffle_partitions: int = 64
     checkpoint_dir: str = ""      # stage manifests + CC checkpoints; "" = temp
     deep_coshuffle_pairs: int = 2_000_000
-                                  # deep-verify formulation switch (verify
-                                  # module docstring): residues below this
-                                  # many pairs use the broadcast-friendly
-                                  # content JOIN (measured faster at bench
-                                  # scale); at/above it, the co-shuffle
-                                  # (content moves once per participant-
-                                  # bucket, never per pair — the only
-                                  # formulation that survives a residue too
-                                  # big to broadcast). Outputs identical.
+                                  # deep-verify formulation switch floor
+                                  # (verify.choose_joined): residues below
+                                  # this many pairs ALWAYS use the content
+                                  # JOIN — at this size the pair list is
+                                  # broadcast-sized, AQE ships it past the
+                                  # content scan and joined measured
+                                  # 10-20% faster (round-4 A/B at
+                                  # 200k/500k files, 616k-pair residue).
+    deep_coshuffle_fanout: float = 12.0
+                                  # second switch condition, above the
+                                  # floor: mean pairs per participant
+                                  # (2*n_deep/participants). Joined moves
+                                  # content once per PAIR SIDE, co-shuffle
+                                  # once per PARTICIPANT-bucket, so
+                                  # co-shuffle pays off exactly when each
+                                  # participant's bytes would be duplicated
+                                  # many times. Round-5 A/B at the 1M-file
+                                  # corpus's 5.8M-pair residue (fanout
+                                  # 16.2, broadcast disabled) measured the
+                                  # CROSSOVER there — adjacent clean runs
+                                  # split 344/412/437s both ways. The knob
+                                  # sits just below that because a real
+                                  # cluster pays joined's duplicated bytes
+                                  # through the network shuffle, not this
+                                  # box's shared memory bus. Outputs
+                                  # identical (parity-tested).
     incremental_buckets: int = 0  # >0 (ckpt mode only): the signature stage
                                   # computes/commits per-bucket slices
                                   # (io.run_stage_buckets) so a killed run
@@ -162,7 +179,8 @@ class DedupConfig:
         d.pop("extra", None)
         # execution-only knobs do not change output semantics
         for k in ("arrow_batch_rows", "shuffle_partitions", "checkpoint_dir",
-                  "incremental_buckets", "deep_coshuffle_pairs"):
+                  "incremental_buckets", "deep_coshuffle_pairs",
+                  "deep_coshuffle_fanout"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -9,8 +9,9 @@ Cost shape (the part that matters at 10^12 files):
   a 256-byte minhash prefix (est_components) and a length — never the full
   shingle sets;
 - content bytes move ONLY for the est-gated residue, through one of TWO
-  formulations chosen ADAPTIVELY by the measured residue size (round 4;
-  the choice costs nothing — it folds into the metadata cache-fill agg):
+  formulations chosen ADAPTIVELY from the measured residue size AND its
+  content-duplication fanout (round 5, `choose_joined`; the choice costs
+  nothing — both inputs fold into the metadata cache-fill agg):
 
   * JOINED (small residue): join content onto the pair rows and feed the
     Arrow mapper directly. When the pair list is broadcast-sized, AQE
@@ -19,10 +20,13 @@ Cost shape (the part that matters at 10^12 files):
     at 200k/500k files measured this 10-20% faster end-to-end than the
     co-shuffle (which pays a blocking local sort for a byte saving that
     is small while pairs-per-participant is ~2).
-  * CO-SHUFFLED (large residue): once the pair list is too big to
-    broadcast, the joined plan degrades to shuffling full `uniq` content
+  * CO-SHUFFLED (unbroadcastable residue AND hot participants): in the
+    unbroadcastable shape the joined plan shuffles full `uniq` content
     for both join sides plus the per-pair attached bytes — the scale
-    killer. Instead, bucket pairs by pmod(xxhash64(a), 8P), tag the
+    killer when each participant's content rides many pairs. Round-5
+    A/B measured the crossover at fanout ~16 on this box
+    (`choose_joined`; BENCH/ADDENDUM.md Addendum 5). Here, bucket pairs
+    by pmod(xxhash64(a), 8P), tag the
     distinct participants' content rows with the same bucket, union,
     repartition ONCE on the bucket and locally sort so each bucket's
     content precedes its pairs: content shuffles once per (participant,
@@ -287,6 +291,42 @@ def _deep_mapper(cfg: DedupConfig):
     return compute
 
 
+def choose_joined(n_deep: int, n_participants: int,
+                  cfg: DedupConfig) -> bool:
+    """Adaptive deep-verify formulation choice (VERDICT r4 next #3).
+
+    Returns True for the JOINED formulation (content joins the pair list),
+    False for the CO-SHUFFLED one (content moves once per participant-
+    bucket). Round-5 A/B measured the co-shuffle IN ITS OWN REGIME —
+    autoBroadcastJoinThreshold=-1 (nothing broadcastable, the plan shape
+    of an over-threshold residue on a real cluster), 1M-file corpus,
+    5.8M-pair est-gated residue with 719k distinct participants (mean
+    fanout 16.2), local[8]. Adjacent clean-window runs went both ways
+    (co-shuffle 344s -> joined 412s -> co-shuffle 437s; clean medians
+    391s vs 409s): at this fanout the formulations sit WITHIN
+    window-drift noise of each other — the measured crossover. Earlier
+    unpaired readings (joined 373-409s vs co-shuffle 568/475s) were
+    hypervisor drift: it moves every barrier uniformly 1.5x+ and swamps
+    a 20% plan effect (BENCH/ADDENDUM.md Addendum 5). The regime split:
+
+    - below the ``deep_coshuffle_pairs`` floor the pair list is
+      broadcast-sized and joined measured 10-20% faster (round-4 A/B,
+      616k-pair residue: AQE broadcasts it, content never shuffles);
+    - above the floor, switch on the content-duplication fanout
+      ``2*n_deep/participants``: joined attaches content once per pair
+      side, co-shuffle once per participant-bucket, so co-shuffle pays
+      off as fanout grows. ``deep_coshuffle_fanout`` sits just BELOW the
+      crossover this box measures (~16) because the box pays joined's
+      duplicated bytes through a shared memory bus, while a real cluster
+      pays them through the network shuffle — costlier relative to
+      co-shuffle's node-local sort, and more so at the 100-TB point.
+    """
+    if n_deep < cfg.deep_coshuffle_pairs:
+        return True
+    fanout = 2.0 * n_deep / max(1, n_participants)
+    return fanout < cfg.deep_coshuffle_fanout
+
+
 def verify_pairs(cand: DataFrame, signatures: DataFrame,
                  uniq: DataFrame, cfg: DedupConfig,
                  handles: list | None = None,
@@ -353,13 +393,26 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     # would be a wasted sequential barrier
     if eager_meta:
         with barrier("v_meta_agg"):
-            row = meta.agg(F.count("*").alias("n"),
-                           F.sum(deep_gate.cast("long")).alias("d")).first()
+            # the two HLL sketches ride the SAME hash agg / shuffle as the
+            # counts — the fanout input costs no extra barrier
+            row = meta.agg(
+                F.count("*").alias("n"),
+                F.sum(deep_gate.cast("long")).alias("d"),
+                F.approx_count_distinct(
+                    F.when(deep_gate, F.col("a"))).alias("da"),
+                F.approx_count_distinct(
+                    F.when(deep_gate, F.col("b"))).alias("db")).first()
         n_deep = row["d"] or 0
+        # da+db double-counts ids present on both sides, OVERestimating
+        # participants and so UNDERestimating fanout — the error biases
+        # toward joined, the measured-safe default
+        n_participants = (row["da"] or 0) + (row["db"] or 0)
         instrument.note("n_pairs", row["n"])
         instrument.note("n_deep", n_deep)
+        instrument.note("n_deep_participants", n_participants)
     else:
         n_deep = 0      # unused: formulation is forced by the caller
+        n_participants = 0
     if handles is not None:
         handles.append(meta)
     need = meta.where(deep_gate).select("a", "b", "est")
@@ -368,7 +421,7 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
                    "deep_pass boolean")
     use_joined = (formulation == "joined"
                   or (formulation == "auto"
-                      and n_deep < cfg.deep_coshuffle_pairs))
+                      and choose_joined(n_deep, n_participants, cfg)))
     if use_joined:
         # JOINED formulation (module docstring): the pair list is small
         # enough that AQE broadcasts it — uniq content streams past the

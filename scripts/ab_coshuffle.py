@@ -31,12 +31,14 @@ def read_steal() -> int:
 
 
 def one(corpus: str, cpus: int, formulation: str) -> dict:
-    force = {"joined": 2_000_000_000, "coshuffle": 1}[formulation]
+    force = {"joined": {"deep_coshuffle_pairs": 2_000_000_000},
+             "coshuffle": {"deep_coshuffle_pairs": 0,
+                           "deep_coshuffle_fanout": 0.0}}[formulation]
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         NISE_BARRIERS="1",
-        NISE_CFG_OVERRIDES=json.dumps({"deep_coshuffle_pairs": force}),
+        NISE_CFG_OVERRIDES=json.dumps(force),
         # the regime under test: nothing broadcastable, as at an
         # over-threshold residue on a real cluster
         NISE_SPARK_CONF=json.dumps(
