@@ -374,11 +374,16 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
         gate_sleep = float(os.environ.get("NISE_GATE_SLEEP", "45"))
         while not quota_met(result) and time.time() < deadline:
             launched = False
-            for cpus in (n_lo, n_hi):      # interleaved when both unmet
+            # short level FIRST: the n_lo run is ~3x longer and is the one
+            # most likely to outlive a granted window, so spend a fresh
+            # window on the run that can finish inside it, then re-probe
+            # before committing to the long one
+            for cpus in (n_hi, n_lo):      # interleaved when both unmet
                 if n_clean(runs[str(cpus)]) >= reps:
                     continue
                 g = round(_raw_cpu_ceiling(n_lo, n_hi, _matmul), 3)
                 result.setdefault("gate_probes", []).append(g)
+                save()   # the probe history IS evidence of window hunting
                 if not (want <= g <= CEIL_MAX):
                     continue               # closed window: do not launch
                 tagged_run(cpus, g)
@@ -411,6 +416,25 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
 
     save()
     return result
+
+
+def _gate_probe_line(p: dict) -> str:
+    """One line of window-hunting evidence for the gated campaign: how the
+    hypervisor distributed bandwidth across the session's pre-launch
+    probes, so a dirty-basis median is mechanically attributable to the
+    machine granting few/no windows rather than to the harness not
+    looking."""
+    import statistics
+    gp = p.get("gate_probes") or []
+    if not gp:
+        return ""
+    want = p.get("ceil_required", 3.0)
+    inw = sum(1 for g in gp if want <= g <= CEIL_MAX)
+    return (f"Window hunting (gated campaign): {len(gp)} pre-launch GEMM "
+            f"probes this session — min {min(gp):.2f}x / median "
+            f"{statistics.median(gp):.2f}x / max {max(gp):.2f}x; "
+            f"{inw} probe(s) inside [{want}, {CEIL_MAX}] triggered "
+            f"launches.\n")
 
 
 def _render_pair(p: dict) -> tuple[str, dict]:
@@ -508,6 +532,7 @@ Every run is tagged with its own window state (pre-run GEMM probe in
 [{p.get('ceil_required', 3.0)}, {CEIL_MAX}] AND steal <
 {p.get('clean_steal_max', '-')} jiffies → ✓). **Medians below use the
 {stats['median_basis']} basis** ({stats['n_clean']} clean runs per level).
+{_gate_probe_line(p)}
 
 | parallelism | runs (wall, throughput, steal, window) | median files/sec |
 |---|---|---|
@@ -727,12 +752,11 @@ the uniq collapse and joins once for the deep-verify residue), which is
 what governs scaling there.
 
 {addendum}
-Full JSON:
-
-```json
-{json.dumps(pairs, indent=1)}
-```
+Full per-run JSON (every attempt, window tag, steal delta and ordered
+driver-barrier log): `BENCH/scaling_evidence.json`.
 """)
+    with open("BENCH/scaling_evidence.json", "w") as f:
+        json.dump(pairs, f, indent=1)
     print(json.dumps({
         "scaling_efficiency": round(proto["eff"], 3),
         "ceiling_alu": round(proto["ceil_alu"] / 4, 3),
