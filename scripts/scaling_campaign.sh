@@ -51,6 +51,8 @@ while true; do
   fi
 done
 # final pass to fill any missing stage_runs + re-render with stage tables
-NISE_STAGE_RUNS=1 NISE_EXTEND_WALL_S=1 python bench.py --scaling \
-  >>/tmp/nise_bench/campaign_r5.log 2>&1
+# (NISE_FINAL_STAGE_RUNS=0 skips the instrumented ckpt couple — at the 1M
+# corpus that couple costs ~40 min of tail wall-clock)
+NISE_STAGE_RUNS=${NISE_FINAL_STAGE_RUNS:-1} NISE_EXTEND_WALL_S=1 \
+  python bench.py --scaling >>/tmp/nise_bench/campaign_r5.log 2>&1
 echo "[campaign] finished" >>/tmp/nise_bench/campaign_r5.log
