@@ -592,9 +592,15 @@ def q_embedding_neardup(spark, sf_dir):
     # (max pair cosine ~0.5) so the threshold is low to exercise the path;
     # recall/linearity contracts are asserted on planted duplicates in
     # tests/test_vectors.py
+    # handles=[]: a one-shot driver query never re-reads the pair table, so
+    # skip candidate_pairs' eager localCheckpoint (that checkpoint exists so
+    # REPEATED registry calls can release the salted cache — here the
+    # session is torn down right after, and the extra materializing pass is
+    # pure fixed cost on a ~3s query; part of the r4/r5 embedding_neardup
+    # drift named in BENCH/ADDENDUM.md Addendum 6)
     return vectors.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
                                         threshold=0.2, tables=4, bits=8,
-                                        seed=42)
+                                        seed=42, handles=[])
 
 
 # --------------------------------------------------------------------------
