@@ -356,6 +356,12 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
     def tagged_run(cpus: int, g: float) -> None:
         r = one_run(cpus)
         r["ceil_gemm_pre"] = g
+        # post-run probe: low steal only proves the vCPUs stayed granted;
+        # the GEMM ratio surviving the run proves the memory BANDWIDTH did
+        # too (observed: steal-196 runs with 1.35x probes — quiet CPUs,
+        # starved bus). Extra evidence only; window_ok keeps the r4 bar.
+        r["ceil_gemm_post"] = round(
+            _raw_cpu_ceiling(n_lo, n_hi, _matmul), 3)
         r["window_ok"] = (want <= g <= CEIL_MAX
                           and r["steal_jiffies"] < clean_steal)
         runs[str(cpus)].append(r)
@@ -389,7 +395,15 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
                 tagged_run(cpus, g)
                 launched = True
             if not launched:
-                time.sleep(gate_sleep)
+                # windows ramp up over ~a minute and die within ~2 (the
+                # probe history shows 2.5-3.0x readings bracketing the
+                # rare in-window ones): when the last probe was NEAR the
+                # window, re-probe quickly to catch the onset — a run
+                # launched early in a window is the only kind that can
+                # finish inside it
+                near = result.get("gate_probes") and \
+                    result["gate_probes"][-1] >= 2.5
+                time.sleep(10 if near else gate_sleep)
         # a gated FRESH pair must still put a baseline couple on the books
         # even if no window ever opened (render needs >=1 run per level)
         for cpus in (n_lo, n_hi):
@@ -461,9 +475,13 @@ def _render_pair(p: dict) -> tuple[str, dict]:
         for r in runs[str(cpus)]:
             tag = ""
             if "window_ok" in r:
-                tag = (" ✓" if r["window_ok"]
-                       else " ✗(pre-probe {}x)".format(
-                           r.get("ceil_gemm_pre", "?")))
+                post = ("/post {}x".format(r["ceil_gemm_post"])
+                        if "ceil_gemm_post" in r else "")
+                tag = (" ✓(pre-probe {}x{})".format(
+                           r.get("ceil_gemm_pre", "?"), post)
+                       if r["window_ok"]
+                       else " ✗(pre-probe {}x{})".format(
+                           r.get("ceil_gemm_pre", "?"), post))
             out.append("{}s ({} f/s, steal {}{})".format(
                 r["wall_s"], r["files_per_sec"], r["steal_jiffies"], tag))
         return "<br>".join(out)
