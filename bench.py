@@ -185,6 +185,10 @@ def _read_steal() -> int:
 # above it mean the LOW-side baseline was throttled while measured, i.e.
 # the probe itself is corrupt (VERDICT r4 next #2).
 CEIL_MAX = 4.0
+_NPROC = os.cpu_count() or 32   # steal (field 9, /proc/stat line 1) sums
+                                # over every vCPU; normalizing by
+                                # wall * 100 * nproc turns it into a share
+                                # of the run's machine jiffies
 
 
 def _burn(_):
@@ -482,8 +486,13 @@ def _render_pair(p: dict) -> tuple[str, dict]:
                        if r["window_ok"]
                        else " ✗(pre-probe {}x{})".format(
                            r.get("ceil_gemm_pre", "?"), post))
-            out.append("{}s ({} f/s, steal {}{})".format(
-                r["wall_s"], r["files_per_sec"], r["steal_jiffies"], tag))
+            # steal as share of the run's machine jiffies (wall * 100 *
+            # nproc) — 5000 jiffies means 7% of an 80s window but 1.6%
+            # of a 1500s one; the share makes runs comparable
+            share = r["steal_jiffies"] / (r["wall_s"] * 100 * _NPROC)
+            out.append("{}s ({} f/s, steal {} = {:.1f}%{})".format(
+                r["wall_s"], r["files_per_sec"], r["steal_jiffies"],
+                100 * share, tag))
         return "<br>".join(out)
 
     def barrier_meds(cpus):
