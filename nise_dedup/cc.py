@@ -246,7 +246,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
                     return spark.createDataFrame(
                         [], "node long, component long")
                 with barrier("cc_driver_uf"):
-                    return _driver_union_find(spark, head)
+                    # broadcast hint: the label table is DRIVER-RESIDENT
+                    # and bounded by small_graph (<= ~64 MB of int64
+                    # pairs), so downstream label joins (C2, publish)
+                    # should ship it map-side instead of paying shuffle
+                    # stages sized for the big path — the same bounded-
+                    # small-side reasoning that justified collecting the
+                    # edges. The distributed path below returns UNhinted:
+                    # its label set scales with the graph.
+                    return F.broadcast(_driver_union_find(spark, head))
             finally:
                 base.unpersist()
 
