@@ -22,6 +22,18 @@ def build_session(master: str | None = None,
     master at all (spark-submit provides it)."""
     cfg = cfg or DedupConfig()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Pin BLAS to one thread per Python worker BEFORE any worker forks:
+    # Spark already parallelizes across task slots, so an unpinned
+    # OpenBLAS (default: one thread per vCPU) oversubscribes N tasks x
+    # 32 BLAS threads the moment a vectorized UDF touches a GEMM (the
+    # ANN re-rank, embedding kernels). Measured on this box: the same
+    # 2-vs-8-process GEMM benchmark reads ~1.1x unpinned (the 2-process
+    # side alone saturates the machine) and ~3.96x pinned. Workers
+    # inherit the JVM/driver environment in local mode; setdefault so an
+    # operator's explicit setting wins.
+    for k in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+              "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(k, "1")
     builder = SparkSession.builder.appName(app_name)
     if master != "":
         builder = builder.master(master or f"local[{cpus}]")

@@ -13,10 +13,10 @@ cd "$(dirname "$0")/.."
 t0=$(date +%s)
 DEADLINE=${CAMPAIGN_DEADLINE_S:-14400}
 export NISE_GATE=1
-export NISE_EXTEND_PAIRS="bench:2,xl:2"
+export NISE_EXTEND_PAIRS="bench:2,xl:2,bench:8"
 export NISE_SCALING_PAIRS="8,2"
 export NISE_SCALING_REPS=${NISE_SCALING_REPS:-3}
-export NISE_SCALING_EXTRA="xl:2:2"
+export NISE_SCALING_EXTRA="xl:2:3"
 export NISE_EXTEND_WALL_S=${NISE_EXTEND_WALL_S:-1200}
 export NISE_CEIL_RETRIES=1
 export NISE_STAGE_RUNS=${NISE_STAGE_RUNS:-0}
@@ -32,7 +32,8 @@ def met(path, reps):
     return all(sum(1 for r in d["runs"][str(c)] if r.get("window_ok")) >= reps
                for c in (d["n_lo"], d["n_hi"]))
 ok = met("/tmp/nise_bench/scaling_bench_2.json", 3) and \
-     met("/tmp/nise_bench/scaling_xl_2.json", 2)
+     met("/tmp/nise_bench/scaling_bench_8.json", 3) and \
+     met("/tmp/nise_bench/scaling_xl_2.json", 3)
 print(1 if ok else 0)
 EOF
 }
