@@ -602,12 +602,26 @@ def _render_pair(p: dict) -> tuple[str, dict]:
         hi = sr.get(str(n_hi), {}).get("stage_wall_s", {}).get(s)
         sp = (round(lo / hi, 2) if lo and hi else "-")
         stage_rows.append(f"| {s} | {lo} | {hi} | {sp} |")
-    stage_table = (chr(10).join(stage_rows) if stage_rows
-                   else "| (stage runs skipped) | - | - | - |")
-
     ca, cg = p["ceil_alu"], p["ceil_gemm"]
     tot_lo = sr.get(str(n_lo), {}).get("wall_s", "-")
     tot_hi = sr.get(str(n_hi), {}).get("wall_s", "-")
+    if stage_rows:
+        stage_section = f"""Per-stage wall, one instrumented checkpointed run per level (ckpt parquet
+writes included, so instrumented totals exceed the headline walls;
+speedup = wall_{n_lo}/wall_{n_hi}):
+
+| stage | local[{n_lo}] wall s | local[{n_hi}] wall s | speedup |
+|---|---|---|---|
+{chr(10).join(stage_rows)}
+
+Instrumented totals: local[{n_lo}] {tot_lo}s, local[{n_hi}] {tot_hi}s."""
+    else:
+        stage_section = (
+            "Per-stage instrumented (checkpointed) runs were skipped for "
+            "this pair this campaign (NISE_STAGE_RUNS=0 — the ckpt couple "
+            "costs ~40 min of tail wall-clock at the 1M corpus); the "
+            "driver-barrier attribution above carries the per-run serial "
+            "evidence instead.")
     n_files = runs[str(n_lo)][0]["files"]
     md = f"""### local[{n_lo}] vs local[{n_hi}] — {n_files:,} files
 
@@ -657,15 +671,7 @@ measured named serial term):
 |---|---|---|---|
 {barrier_table}
 
-Per-stage wall, one instrumented checkpointed run per level (ckpt parquet
-writes included, so instrumented totals exceed the headline walls;
-speedup = wall_{n_lo}/wall_{n_hi}):
-
-| stage | local[{n_lo}] wall s | local[{n_hi}] wall s | speedup |
-|---|---|---|---|
-{stage_table}
-
-Instrumented totals: local[{n_lo}] {tot_lo}s, local[{n_hi}] {tot_hi}s.
+{stage_section}
 """
     return md, stats
 
