@@ -118,6 +118,49 @@ class DedupConfig:
                                  # (measured: 4096 admitted ~1M pairs on
                                  # the 200k bench corpus, ~60s of wave-2
                                  # work for zero recovered dups)
+    escalate_max_pairs: int = 5_000_000
+                                 # coarse BACKSTOP: total member-pair
+                                 # budget for the wave per run, spent
+                                 # cost-ASCENDING over failed salt pairs
+                                 # (cost = m_lo*m_hi cross-salt member
+                                 # product), skips accounted in
+                                 # escalation_diag n_skipped_budget
+                                 # (SURVEY §7.3 no-silent-caps). Sized so
+                                 # it NEVER binds at bench scale (the 1M
+                                 # corpus wave is 1.39M member pairs) —
+                                 # the SKETCH stage of the wave is cheap
+                                 # (16-byte est join, ~4 s for 12M pairs
+                                 # at local[8]); the expensive stage is
+                                 # bounded separately and with better
+                                 # evidence by escalate_deep_budget. A
+                                 # tighter cost-ascending member budget
+                                 # was measured WRONG on the 1M corpus:
+                                 # at 200k it dropped both genuine
+                                 # recoveries (they live in LARGE salt
+                                 # pairs; small-is-dup-likely was a bad
+                                 # heuristic). 0 = unlimited. SEMANTIC —
+                                 # in config_hash.
+    escalate_deep_budget: int = 50_000
+                                 # cap on the wave's DEEP residue (exact
+                                 # Jaccard / LCS — the expensive Python
+                                 # stage), spent est-DESCENDING so the
+                                 # strongest-evidence member pairs verify
+                                 # first; fast-pass recoveries (identical
+                                 # or near-identical split dups, est >=
+                                 # est_accept) cost nothing and are never
+                                 # subject to it. Round-5 measurement on
+                                 # the 1M corpus: the UNbudgeted wave
+                                 # deep-verified ~1.39M member pairs of
+                                 # noise buckets (every one of 2,893 rep
+                                 # pairs failed) to recover TWO passing
+                                 # pairs — +38% run wall at local[8]
+                                 # (461 s vs 284 s wave-off, in-window
+                                 # paired runs). Dropped deep pairs keep
+                                 # their sketch verdicts; the drop count
+                                 # surfaces in metrics as
+                                 # n_esc_deep_dropped (count_deep_gated).
+                                 # 0 = unlimited. SEMANTIC — in
+                                 # config_hash.
 
     # --- execution ---
     arrow_batch_rows: int = 2048  # small batches: `content` can be megabytes

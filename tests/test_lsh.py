@@ -197,6 +197,61 @@ def test_escalation_oversize_bucket_skipped_and_counted(spark):
     diag = escalation_diag(salted, verified, cfg).collect()[0]
     assert diag["n_failed_salt_pairs"] == 1
     assert diag["n_skipped_oversize"] == 1
+    assert diag["n_skipped_budget"] == 0          # nothing admissible left
+
+
+def test_escalation_budget_spent_cost_ascending(spark):
+    """Run-level escalation BACKSTOP budget (round 5): with two failed
+    buckets, escalate_max_pairs admits the cheap salt pair and skips the
+    expensive one WITH diag accounting (n_skipped_budget). The backstop is
+    sized to never bind at bench scale — the evidence-based cap is
+    escalate_deep_budget (test_verify.py::
+    test_deep_budget_caps_deep_stage_est_descending); this test pins the
+    backstop's mechanics: deterministic cost-ascending spend, no silent
+    drops, 0 = unlimited."""
+    from nise_dedup.lsh import (cross_rep_pairs, escalation_diag,
+                                escalation_pairs, salted_buckets)
+
+    # bucket A: 6 members (3x3 cross pairs = 9 cost); bucket B: 4 members
+    # (2x2 = 4 cost). Budget 5 admits only B.
+    members_a = [115, 75, 35, 199, 184, 8]
+    members_b = [201, 202, 203, 204]
+    cfg = DedupConfig(bucket_cap=3, escalate_max_pairs=5)
+    salted = salted_buckets(
+        _bands_df(spark, [(0, 7, members_a), (1, 9, members_b)]), cfg)
+    reps = {(r["a"], r["b"])
+            for r in cross_rep_pairs(salted, rep_k=2).collect()}
+    verified = spark.createDataFrame(
+        [(a, b, False) for a, b in sorted(reps)],
+        "a long, b long, passed boolean")
+
+    esc = {(r["a"], r["b"])
+           for r in escalation_pairs(salted, verified, cfg).collect()}
+    ids_a, ids_b = set(members_a), set(members_b)
+    assert esc, "cheap bucket must escalate"
+    assert all(a in ids_b and b in ids_b for a, b in esc), esc
+    assert not any(a in ids_a or b in ids_a for a, b in esc)
+
+    diag = escalation_diag(salted, verified, cfg).collect()[0]
+    assert diag["n_failed_salt_pairs"] == 2
+    assert diag["n_skipped_oversize"] == 0
+    assert diag["n_skipped_budget"] == 1
+    # admitted cost = m_lo * m_hi of bucket B's actual salt split
+    # (xxhash64-derived, e.g. 3+1 -> 3), computed not assumed
+    from collections import Counter
+    split = Counter(r["salt"] for r in salted.collect()
+                    if r["file_id"] in ids_b)
+    m_lo, m_hi = sorted(split.values())
+    assert diag["n_budgeted_pairs"] == m_lo * m_hi
+    assert diag["n_budgeted_pairs"] == len(esc)
+
+    # budget 0 = unlimited: both buckets escalate
+    cfg_all = DedupConfig(bucket_cap=3, escalate_max_pairs=0)
+    esc_all = {(r["a"], r["b"])
+               for r in escalation_pairs(salted, verified, cfg_all)
+               .collect()}
+    assert any(a in ids_a or b in ids_a for a, b in esc_all)
+    assert esc <= esc_all
 
 
 def test_escalation_quiet_when_reps_pass(spark):

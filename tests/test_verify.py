@@ -132,3 +132,47 @@ def test_lcs_threshold_boundary_parity():
     assert bool(got[3]) is (615 >= max(cfg.tau_lcs_min_bytes,
                                        cfg.tau_lcs_ratio * 1024))  # True
     assert not got[1] and got[3]
+
+
+def test_deep_budget_caps_deep_stage_est_descending(spark):
+    """escalate_deep_budget plumbing: deep_budget=N keeps only the top-N
+    est-ranked pairs in the deep stage; dropped pairs keep their SKETCH
+    verdicts (identical to pairs below the est gates), fast-pass pairs are
+    never affected. Round-5 rationale in DedupConfig.escalate_deep_budget
+    (1.39M noise deep-verifications for 2 recoveries at the 1M corpus)."""
+    cfg = DedupConfig(num_perm=32, bands=8, rows=4)
+    docs = _docs()
+    uniq = spark.createDataFrame(list(docs.items()),
+                                 "file_id long, content string")
+    sigs = compute_signatures(uniq, cfg)
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5), (2, 3)], "a long, b long")
+
+    base = {(r["a"], r["b"]): r for r in
+            verify_pairs(cand, sigs, uniq, cfg).collect()}
+    deep_pairs = {k for k, r in base.items()
+                  if r["jaccard"] != -1.0 or r["lcs_len"] != -1}
+    assert len(deep_pairs) >= 2, "fixture must exercise the deep stage"
+
+    got = {(r["a"], r["b"]): r for r in
+           verify_pairs(cand, sigs, uniq, cfg, deep_budget=1).collect()}
+    got_deep = {k for k, r in got.items()
+                if r["jaccard"] != -1.0 or r["lcs_len"] != -1}
+    assert len(got_deep) == 1
+    assert got_deep <= deep_pairs
+    # non-deep verdicts identical to the unbudgeted run
+    for k in set(base) - deep_pairs:
+        assert got[k]["passed"] == base[k]["passed"]
+    # budget-dropped deep pairs fall back to their sketch verdict (fail,
+    # since deep-gated pairs by definition did not fast-pass)
+    for k in deep_pairs - got_deep:
+        assert not got[k]["passed"]
+        assert got[k]["jaccard"] == -1.0 and got[k]["lcs_len"] == -1
+
+    # budget 0 = off: bit-identical to the unbudgeted call
+    off = {(r["a"], r["b"]): r for r in
+           verify_pairs(cand, sigs, uniq, cfg, deep_budget=0).collect()}
+    assert {k: (r["passed"], r["jaccard"], r["lcs_len"])
+            for k, r in off.items()} == \
+           {k: (r["passed"], r["jaccard"], r["lcs_len"])
+            for k, r in base.items()}
