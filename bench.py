@@ -522,8 +522,28 @@ def _render_pair(p: dict) -> tuple[str, dict]:
     # the basis is stated on the books either way
     clean = {c: [r for r in runs[str(c)] if r.get("window_ok")]
              for c in (n_lo, n_hi)}
+    # STRICT basis — VERDICT r4 next #2's literal bar: "every counted run
+    # has steal <5k jiffies and an in-bounds ceiling". The normalized bar
+    # divides by the MACHINE's core count, which over-admits LOW-
+    # parallelism runs: a local[2] run leaves 30 of 32 cores idle, so
+    # 1.5% of machine jiffies is ~24% of the capacity the job actually
+    # uses — and hypervisor steal accrues on RUNNABLE vCPUs, i.e. the
+    # busy ones (observed: a 1M local[2] run at 55k stolen jiffies =
+    # 1.1% machine share but ~18% of its 2 cores, throughput -25%).
+    # Prefer the absolute bar whenever every level keeps at least one
+    # such run (the judge's criterion binds EVERY counted run, so a
+    # single strictly-clean run is better evidence than a median that
+    # mixes in a contaminated one — contamination on the LOW level
+    # inflates the efficiency); the normalized bar remains the fallback
+    # so a long-corpus basis stays reachable in stormy sessions.
+    abs_max = p.get("clean_steal_max", 5000)
+    strict = {c: [r for r in clean[c] if r["steal_jiffies"] < abs_max]
+              for c in (n_lo, n_hi)}
+    use_strict = all(len(strict[c]) >= 1 for c in (n_lo, n_hi))
     use_clean = all(len(clean[c]) >= 2 for c in (n_lo, n_hi))
-    basis = clean if use_clean else {c: runs[str(c)] for c in (n_lo, n_hi)}
+    basis = (strict if use_strict else
+             clean if use_clean else
+             {c: runs[str(c)] for c in (n_lo, n_hi)})
 
     # auxiliary tally: the r4 ABSOLUTE steal bar (5000 jiffies regardless
     # of wall). The primary criterion is duration-normalized since round 5
@@ -540,8 +560,26 @@ def _render_pair(p: dict) -> tuple[str, dict]:
     eff = (med[n_hi] / med[n_lo]) / 4.0
     stats = {"eff": eff, "med_lo": med[n_lo], "med_hi": med[n_hi],
              "ceil_alu": p["ceil_alu"], "ceil_gemm": p["ceil_gemm"],
-             "median_basis": "clean-window" if use_clean else "all-runs",
-             "n_clean": {str(c): len(clean[c]) for c in (n_lo, n_hi)}}
+             "median_basis": ("strict-clean" if use_strict else
+                              "clean-window" if use_clean else "all-runs"),
+             "n_clean": {str(c): len(clean[c]) for c in (n_lo, n_hi)},
+             "n_strict": {str(c): len(strict[c]) for c in (n_lo, n_hi)}}
+    # when the strict bar excluded window_ok runs from the medians, put
+    # the normalized-basis number on the books too so the exclusion is
+    # auditable as arithmetic, not trust
+    strict_note = ""
+    if use_strict and any(len(strict[c]) != len(clean[c])
+                          for c in (n_lo, n_hi)):
+        cm = {c: statistics.median(r["files_per_sec"] for r in clean[c])
+              for c in (n_lo, n_hi)}
+        eff_cl = (cm[n_hi] / cm[n_lo]) / 4.0
+        stats["eff_clean"] = round(eff_cl, 3)
+        strict_note = (
+            f"\nRuns tagged ✓ but at/over the absolute bar are excluded "
+            f"from the medians above (their raw rows stay in the table); "
+            f"for comparison, the normalized-basis medians over ALL ✓ "
+            f"runs give {cm[n_lo]:.0f}/{cm[n_hi]:.0f} f/s → efficiency "
+            f"{eff_cl:.3f}.\n")
 
     def fmt(cpus):
         out = []
@@ -641,16 +679,18 @@ against required >= {p.get('ceil_required', '-')}x —
 Every run is tagged with its own window state (pre-run GEMM probe in
 [{p.get('ceil_required', 3.0)}, {CEIL_MAX}] AND steal ≤
 {100 * p.get('clean_share_max', CLEAN_SHARE):.1f}% of the run's machine
-jiffies → ✓). The steal bar is duration-NORMALIZED (round 5): the r4
-absolute bar (5000 jiffies flat) charged an 80s run and a 1300s run the
-same budget — it admitted 200k runs at up to 1.4% contamination while
-rejecting 1M runs at 0.32%, making a clean long-corpus basis structurally
-unreachable; 1.5% is the highest contamination the absolute bar ever
-admitted, so short-corpus classifications are unchanged. **Medians below
-use the {stats['median_basis']} basis** ({stats['n_clean']} clean runs per
-level). Auxiliary tally (corroborating evidence): runs also clean under
-the r4 absolute bar (steal < {p.get('clean_steal_max', '-')} jiffies):
-{n_abs_clean} per level.
+jiffies → ✓). The duration-normalized steal bar (round 5) fixed the r4
+absolute bar charging an 80s run and a 1300s run the same 5000-jiffy
+budget, but it divides by the MACHINE's cores and therefore over-admits
+low-parallelism runs (at local[2], 1.5% of machine jiffies is ~24% of
+the 2 cores the job uses — and steal accrues on runnable vCPUs). The
+medians therefore prefer the STRICT basis — window ✓ AND absolute steal
+< {p.get('clean_steal_max', '-')} jiffies, VERDICT r4 #2's literal bar —
+whenever both levels keep ≥1 such run, falling back to the normalized
+✓ basis, then to all runs. **Medians below use the
+{stats['median_basis']} basis** (per level: {stats['n_strict']} strict,
+{stats['n_clean']} ✓-tagged; also clean under the absolute bar
+irrespective of probe: {n_abs_clean}).
 {_gate_probe_line(p)}
 
 | parallelism | runs (wall, throughput, steal, window) | median files/sec |
@@ -661,7 +701,7 @@ the r4 absolute bar (steal < {p.get('clean_steal_max', '-')} jiffies):
 **Scaling efficiency (thr_{n_hi}/thr_{n_lo})/4 = {eff:.3f}**; normalized to
 the ALU ceiling: {eff / (ca / 4):.3f}; normalized to the GEMM ceiling:
 {eff / (cg / 4):.3f}.
-
+{strict_note}
 Driver-barrier attribution (VERDICT r4 next #1 — medians over the same
 basis runs; per-barrier two-point Amdahl fit wall(c)=S+P/c, S column =
 the serial part; their sum **{stats['fitted_serial_s']:.1f} s** is the
