@@ -193,6 +193,36 @@ class DedupConfig:
                                   # through the network shuffle, not this
                                   # box's shared memory bus. Outputs
                                   # identical (parity-tested).
+    deep_partition_factor: int = 4
+                                  # wave-1 deep-verify stage parallelism:
+                                  # the residue repartitions into
+                                  # factor * shuffle_partitions tasks
+                                  # instead of shuffle_partitions. The deep
+                                  # mapper is the pipeline's longest,
+                                  # highest-variance Python work (per-task
+                                  # cost rides the pair-count x content-
+                                  # length skew of whatever pids land
+                                  # there), so at shuffle_partitions tasks
+                                  # the stage drains with a straggler tail
+                                  # that idles slots: event-log measured at
+                                  # the 1M corpus / local[8], 16 tasks of
+                                  # 44-133 s (sum 1357 s) packed onto 8
+                                  # slots cost 212.5 s of stage wall vs the
+                                  # 170 s balanced optimum — a 20% tail
+                                  # that the 2-core level barely pays
+                                  # (16 tasks = 8 waves averages the
+                                  # variance out), i.e. a pure scaling-
+                                  # efficiency leak. Finer tasks pack
+                                  # tighter; per-task overhead (~tens of
+                                  # ms: scheduling + Arrow setup against
+                                  # reused Python workers) is noise next
+                                  # to multi-second deep tasks. Applied to
+                                  # wave 1 only — the bounded forced-joined
+                                  # calls (rep pairs, escalation) keep
+                                  # shuffle_partitions, where extra tasks
+                                  # are pure overhead. Output identical:
+                                  # execution-only, excluded from
+                                  # config_hash.
     incremental_buckets: int = 0  # >0 (ckpt mode only): the signature stage
                                   # computes/commits per-bucket slices
                                   # (io.run_stage_buckets) so a killed run
@@ -223,7 +253,7 @@ class DedupConfig:
         # execution-only knobs do not change output semantics
         for k in ("arrow_batch_rows", "shuffle_partitions", "checkpoint_dir",
                   "incremental_buckets", "deep_coshuffle_pairs",
-                  "deep_coshuffle_fanout"):
+                  "deep_coshuffle_fanout", "deep_partition_factor"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

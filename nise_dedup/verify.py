@@ -458,6 +458,15 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
 
     deep_schema = ("a long, b long, jaccard double, lcs_len long, "
                    "deep_pass boolean")
+    # Wave-1 deep stages get FINER partitioning than the rest of the plan
+    # (cfg.deep_partition_factor docstring: the deep mapper's per-task cost
+    # is long and skew-varied, so at shuffle_partitions tasks the stage
+    # drains with a slot-idling straggler tail — measured 20% of stage wall
+    # at 1M/local[8]). Bounded forced-joined calls (eager_meta=False: rep
+    # pairs, escalation) keep the plain width — extra tasks there are pure
+    # overhead against sub-second work.
+    p_deep = cfg.shuffle_partitions * (
+        max(1, cfg.deep_partition_factor) if eager_meta else 1)
     use_joined = (formulation == "joined"
                   or (formulation == "auto"
                       and choose_joined(n_deep, n_participants, cfg)))
@@ -472,7 +481,7 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
         c_b = uniq.select(F.col("file_id").alias("b"),
                           F.col("content").alias("content_b"))
         deep = (need.join(c_a, on="a").join(c_b, on="b")
-                .repartition(cfg.shuffle_partitions, "a")
+                .repartition(p_deep, "a")
                 .mapInPandas(_deep_mapper_joined(cfg), schema=deep_schema))
     else:
         # CO-SHUFFLED formulation (module docstring): bucket by
@@ -482,7 +491,7 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
         # empty (occupancy of P balls in P bins) — 8P values give every
         # partition ~8 buckets and an even load, while the per-bucket
         # content table the mapper holds stays 8x smaller.
-        P = cfg.shuffle_partitions
+        P = p_deep
         D = 8 * P
 
         def pid_of(c):
