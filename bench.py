@@ -377,8 +377,16 @@ def _measure_pair(corpus_path: str, n_lo: int, reps: int,
         with open(cache) as f:
             result = json.load(f)
         retag(result)
+        # render-only (round 5): publish whatever evidence the caches hold
+        # right now WITHOUT launching, probing or waiting — lets a running
+        # gated campaign's partial progress be re-rendered and committed
+        # from a second process that never competes with it for the box
+        if os.environ.get("NISE_RENDER_ONLY", "0") == "1":
+            return result
         if not (gate and extendable and not quota_met(result)):
             return result
+    elif os.environ.get("NISE_RENDER_ONLY", "0") == "1":
+        return None   # no evidence for this pair yet: skip it in the render
 
     if result is None:
         qual = _qualified_ceilings(n_lo, n_hi)
@@ -842,9 +850,10 @@ def _scaling(sf_dir: str) -> None:
 
     import nise_dedup.corpus as C
 
+    render_only = os.environ.get("NISE_RENDER_ONLY", "0") == "1"
     size = os.environ.get("NISE_SCALING_SIZE", "bench")
     corpus_path = f"/tmp/nise_bench/corpus_{size}.parquet"
-    if not os.path.exists(corpus_path):
+    if not os.path.exists(corpus_path) and not render_only:
         os.makedirs(os.path.dirname(corpus_path), exist_ok=True)
         # small row groups so the parquet scan is splittable across tasks
         C.to_pandas(C.generate(size, 42)).to_parquet(
@@ -860,10 +869,18 @@ def _scaling(sf_dir: str) -> None:
     for spec in filter(None, extra.split(",")):
         xsize, xn, xreps = spec.split(":")
         xpath = f"/tmp/nise_bench/corpus_{xsize}.parquet"
-        if not os.path.exists(xpath):
+        if not os.path.exists(xpath) and not render_only:
             C.to_pandas(C.generate(xsize, 42)).to_parquet(
                 xpath, row_group_size=2000)
         pairs.append(_measure_pair(xpath, int(xn), int(xreps), xsize))
+    # render-only: drop cache-less pairs and pairs too fresh to summarize
+    # (a pair is renderable once both levels hold >=1 run)
+    pairs = [p for p in pairs
+             if p is not None and all(p["runs"][str(c)]
+                                      for c in (p["n_lo"], p["n_hi"]))]
+    if not pairs:
+        print(json.dumps({"error": "no cached pairs to render"}))
+        return
     rendered = [_render_pair(p) for p in pairs]
     proto = rendered[0][1]
     n_files = pairs[0]["runs"][str(pairs[0]["n_lo"])][0]["files"]
