@@ -127,7 +127,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
                          small_graph: int = 2_000_000,
                          balance_salts: int = 0,
                          auto_balance_rows: int = 500_000,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         assume_distinct: bool = False) -> DataFrame:
     """C1 — edges DF[src, dst] (any orientation) → DF[node, component]
     where component = min node id in the connected component.
 
@@ -180,6 +181,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
 
     ``stats``: optional dict populated with {"iterations", "salts_used",
     "max_hot_rows", "driver_path"} for observability/tests.
+
+    ``assume_distinct`` (round 6): the caller GUARANTEES the edge list is
+    already distinct with src != dst, so the defensive input ``distinct()``
+    — a full shuffle of the edge set before anything runs — is skipped.
+    The guarantee matters: duplicate edges would self-cancel in the
+    xor-fold convergence signature. The pipeline's verified-pair edges
+    qualify by construction (one row per candidate pair, a < b, waves
+    disjoint by anti-join); labels are parity-tested identical.
     """
     def _sig(df, both_dirs: bool = False):
         # one action per batch: set equality via (count, hash-XOR-fold) —
@@ -221,10 +230,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     # sidesteps it; (2) on the big path the first signature agg fills it
     # completely, so the eager localCheckpoint copies from cache.
     spark = edges.sparkSession
-    base = (edges.select("src", "dst")
-            .where(F.col("src") != F.col("dst"))
-            .distinct()
-            .persist())
+    cleaned = (edges.select("src", "dst")
+               .where(F.col("src") != F.col("dst")))
+    if not assume_distinct:
+        cleaned = cleaned.distinct()
+    base = cleaned.persist()
 
     if stats is None:
         stats = {}
@@ -237,8 +247,28 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         # (CollectLimit evaluates incrementally), so on the big path the
         # persist cache is only partially filled — the first signature agg
         # below touches every partition and completes the fill (ADVICE r4).
-        with barrier("cc_probe_collect"):
-            head = base.limit(small_graph + 1).toPandas()
+        # One-shot CollectLimit (round 6): by default the limit evaluates
+        # partitions incrementally (1, 4, 16, ... scale-up jobs) — each
+        # ramp step is a sequential driver job, and the probe's limit is
+        # far larger than any partition prefix, so the ramp always runs to
+        # the end anyway; on the big path the full evaluation doubles as
+        # the cache fill. Scoped, not session-wide: other limits (e.g. the
+        # ckpt-resume salted probe) WANT the incremental ramp.
+        conf = spark.conf
+        _K = "spark.sql.limit.initialNumPartitions"
+        try:
+            old_init = conf.get(_K)
+        except Exception:
+            old_init = None
+        conf.set(_K, "1000000")
+        try:
+            with barrier("cc_probe_collect"):
+                head = base.limit(small_graph + 1).toPandas()
+        finally:
+            if old_init is None:
+                conf.unset(_K)
+            else:
+                conf.set(_K, old_init)
         if len(head) <= small_graph:
             try:
                 stats["driver_path"] = True
@@ -322,7 +352,11 @@ def canonical_clusters(verified: DataFrame, all_nodes: DataFrame) -> DataFrame:
     in component; singletons (no passed edge) cluster as themselves."""
     edges = (verified.where(F.col("passed"))
              .select(F.col("a").alias("src"), F.col("b").alias("dst")))
-    comp = connected_components(edges)
+    # assume_distinct: verified carries one row per candidate pair with
+    # a < b (wave 1), plus wave-2 rows anti-joined against wave 1 — the
+    # edge list is distinct by construction, so CC skips its defensive
+    # input shuffle (round 6)
+    comp = connected_components(edges, assume_distinct=True)
     return (all_nodes.select("file_id")
             .join(comp.withColumnRenamed("node", "file_id"),
                   on="file_id", how="left")

@@ -223,6 +223,23 @@ class DedupConfig:
                                   # are pure overhead. Output identical:
                                   # execution-only, excluded from
                                   # config_hash.
+    deep_pairs_per_task: int = 512
+                                  # floor on deep-verify pairs per task:
+                                  # the adaptive stage width is
+                                  # min(deep_partition_factor *
+                                  #     shuffle_partitions,
+                                  #     ceil(n_deep / this)) — small
+                                  # residues stop fanning out into
+                                  # hundreds of near-empty Python tasks
+                                  # (~200 ms Arrow/worker setup each,
+                                  # round-6 event log: 256 tasks, 54
+                                  # core-s for a 48-pair residue) while
+                                  # large residues still hit the factor
+                                  # cap unchanged. ~512 pairs ~ 0.5-2 s
+                                  # of deep work per task, well above the
+                                  # per-task overhead. Output identical:
+                                  # execution-only, excluded from
+                                  # config_hash.
     incremental_buckets: int = 0  # >0 (ckpt mode only): the signature stage
                                   # computes/commits per-bucket slices
                                   # (io.run_stage_buckets) so a killed run
@@ -253,7 +270,8 @@ class DedupConfig:
         # execution-only knobs do not change output semantics
         for k in ("arrow_batch_rows", "shuffle_partitions", "checkpoint_dir",
                   "incremental_buckets", "deep_coshuffle_pairs",
-                  "deep_coshuffle_fanout", "deep_partition_factor"):
+                  "deep_coshuffle_fanout", "deep_partition_factor",
+                  "deep_pairs_per_task"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

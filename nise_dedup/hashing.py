@@ -221,3 +221,172 @@ def to_i64(x: np.ndarray | int):
     if isinstance(x, np.ndarray):
         return x.view(np.int64) if x.dtype == U64 else x.astype(np.int64)
     return int(np.uint64(x).astype(np.int64))
+
+
+# --------------------------------------------------------------------------
+# Batch kernels (round 6): the same formulas as the per-document functions
+# above, vectorized ACROSS the documents of one Arrow batch. The signature
+# stage previously paid ~40 small numpy calls per document (~1.9 ms/doc
+# measured at the sf1.0 bench — 95 core-seconds for 50k documents, the
+# single largest real-compute block in the pipeline); these kernels do one
+# numpy pass per batch instead. Bit-identical to the scalar path by
+# construction (same arithmetic, same order); tests/test_hashing.py and
+# tests/test_signatures.py assert parity against the frozen oracle.
+# --------------------------------------------------------------------------
+
+def shingle_sets_batch(raws: list[bytes], k: int) -> tuple[np.ndarray,
+                                                           np.ndarray]:
+    """Per-document sorted-distinct shingle hash sets for a whole batch.
+
+    Returns (values, starts): ``values`` is the concatenation of every
+    document's sorted unique shingle hashes (exactly ``shingle_hashes``'s
+    output per document), ``starts`` has length len(raws)+1 with document
+    d's set at values[starts[d]:starts[d+1]].
+
+    Documents shorter than k (including empty ones) take the scalar
+    fallback — their single whole-string window does not fit the global
+    k-window sweep; everything else is hashed in ONE polynomial prefix
+    pass over the concatenated bytes. The global-prefix trick: with Q the
+    prefix sum of byte[t]*B^t over GLOBAL positions t, a window starting
+    at global position i inside one document has
+    (Q[i+k]-Q[i]) * B^-i  ==  the document-local polynomial — the B^o
+    offset of the document's start cancels — so per-document values are
+    identical to the scalar path; windows that would cross a document
+    boundary are simply never emitted.
+    """
+    d = len(raws)
+    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=d)
+    # scalar-fallback docs: effective length (empty -> 1 zero byte) < k
+    small = np.maximum(lens, 1) < k
+    big_idx = np.flatnonzero(~small)
+    parts: list[np.ndarray | None] = [None] * d
+    for i in np.flatnonzero(small):
+        parts[i] = shingle_hashes(raws[i], k)
+    if big_idx.size:
+        blobs = [raws[i] if lens[i] else b"\x00" for i in big_idx]
+        L = np.fromiter((len(x) for x in blobs), dtype=np.int64,
+                        count=len(blobs))
+        allb = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        n = allb.size
+        pw, ipw = _powers(n)
+        q = np.empty(n + 1, dtype=U64)
+        q[0] = 0
+        np.cumsum(allb.astype(U64) * pw[:n], out=q[1:], dtype=U64)
+        h = (q[k:] - q[: n - k + 1]) * ipw[: n - k + 1]
+        # valid window starts per doc: offs[j] .. offs[j] + L[j] - k
+        n_win = L - k + 1
+        offs = np.concatenate(([0], np.cumsum(L)))[:-1]
+        seg = np.repeat(np.arange(big_idx.size, dtype=np.int64), n_win)
+        first = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        pos = (np.arange(int(n_win.sum()), dtype=np.int64)
+               - np.repeat(first, n_win) + np.repeat(offs, n_win))
+        hv = mix64(h[pos])
+        order = np.lexsort((hv, seg))
+        sv, ss = hv[order], seg[order]
+        keep = np.empty(sv.size, dtype=bool)
+        keep[0] = True
+        np.not_equal(sv[1:], sv[:-1], out=keep[1:])
+        keep[1:] |= ss[1:] != ss[:-1]
+        uniq_vals = sv[keep]
+        counts = np.bincount(ss[keep], minlength=big_idx.size)
+        if not small.any():
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            return uniq_vals, starts
+        ustarts = np.concatenate(([0], np.cumsum(counts)))
+        for j, i in enumerate(big_idx):
+            parts[i] = uniq_vals[ustarts[j]:ustarts[j + 1]]
+    sizes = np.fromiter((p.size for p in parts), dtype=np.int64, count=d)
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    return (np.concatenate(parts) if parts else
+            np.empty(0, dtype=U64)), starts
+
+
+def minhash_oph_batch(values: np.ndarray, starts: np.ndarray, n: int,
+                      seed: int) -> np.ndarray:
+    """``minhash_oph`` for every document of a (values, starts) batch —
+    returns uint64[(n_docs, n)], row d identical to
+    ``minhash_oph(values[starts[d]:starts[d+1]], n, seed)``."""
+    d = starts.size - 1
+    MAXV = np.iinfo(np.uint64).max
+    h = mix64(values ^ U64(seed & 0xFFFFFFFFFFFFFFFF) ^ _GOLDEN)
+    bins = (h % U64(n)).astype(np.int64)
+    doc = np.repeat(np.arange(d, dtype=np.int64),
+                    np.diff(starts).astype(np.int64))
+    vals = np.full(d * n, MAXV, dtype=U64)
+    np.minimum.at(vals, doc * n + bins, h)
+    vals = vals.reshape(d, n)
+    empty = vals == MAXV
+    filled = ~empty
+    vals[filled] = mix64(vals[filled])
+    if empty.any():
+        out = vals.copy()
+        src = vals.copy()
+        remaining = empty.copy()
+        shift = 1
+        while remaining.any():
+            rolled = np.roll(src, -shift, axis=1)
+            take = remaining & (rolled != MAXV)
+            off = U64((shift * int(_GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
+            out[take] = mix64(rolled[take] ^ off)
+            remaining &= ~take
+            shift += 1
+        vals = out
+    return vals
+
+
+def simhash64_batch(values: np.ndarray, starts: np.ndarray,
+                    chunk_docs: int = 4096) -> np.ndarray:
+    """``simhash64`` per document — returns uint64[n_docs]. One
+    ``np.unpackbits`` pass per chunk of documents, then per-document
+    bit-plane sums over views of the shared bit matrix. (Segment sums via
+    ``np.add.reduceat`` were measured to stall 18-26 s on the FIRST large
+    call in every forked Spark worker on the bench VM — some one-time
+    per-process cost in that ufunc path; ``ndarray.sum`` has no such
+    pathology and the per-document loop costs only ~3 us/doc of call
+    overhead.)"""
+    d = starts.size - 1
+    out = np.zeros(d, dtype=U64)
+    weights = np.uint64(1) << np.arange(64, dtype=U64)
+    for lo in range(0, d, chunk_docs):
+        hi = min(lo + chunk_docs, d)
+        seg = np.ascontiguousarray(values[starts[lo]:starts[hi]])
+        if seg.size == 0:
+            continue
+        bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+        rel = (starts[lo:hi + 1] - starts[lo]).astype(np.int64)
+        acc = np.empty((hi - lo, 64), dtype=np.int64)
+        for j in range(hi - lo):
+            bits[rel[j]:rel[j + 1]].sum(axis=0, dtype=np.int64,
+                                        out=acc[j])
+        m = np.diff(starts[lo:hi + 1]).astype(np.int64)
+        signs = (2 * acc - m[:, None]) > 0
+        out[lo:hi] = (signs * weights[None, :]).sum(axis=1, dtype=U64)
+    return out
+
+
+def band_keys_batch(sig: np.ndarray, bands: int, rows: int,
+                    seed: int) -> np.ndarray:
+    """``band_keys`` per document over a uint64[(n_docs, n)] signature
+    matrix — returns uint64[(n_docs, bands)]."""
+    sig3 = sig.reshape(sig.shape[0], bands, rows)
+    keys = np.broadcast_to(hash_seeds(bands, seed ^ 0x5CA1AB1E),
+                           (sig.shape[0], bands)).copy()
+    for j in range(rows):
+        keys = mix64(keys ^ sig3[:, :, j])
+    return keys
+
+
+def pack_bbit_batch(mh: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """``pack_bbit`` per document — returns (lo, hi) int64[n_docs]."""
+    m = min(m, 64, mh.shape[1])
+    bb = mh[:, :m] & U64(3)
+    n_lo = min(m, 32)
+    lo = (bb[:, :n_lo] << (U64(2) * np.arange(n_lo, dtype=U64))[None, :]
+          ).sum(axis=1, dtype=U64)
+    if m > 32:
+        hi = (bb[:, 32:m] << (U64(2) * np.arange(m - 32, dtype=U64))[None, :]
+              ).sum(axis=1, dtype=U64)
+    else:
+        hi = np.zeros(mh.shape[0], dtype=U64)
+    return lo.view(np.int64), hi.view(np.int64)

@@ -225,7 +225,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             signatures = run_stage_buckets(
                 spark, ckpt, ch, "signatures", B,
                 lambda b: compute_signatures(
-                    uniq.where(F.col("part_bucket") == b), cfg),
+                    uniq.where(F.col("part_bucket") == b), cfg,
+                    keep_minhash=False),
                 extra_manifest={"sig_buckets": B})
             uniq = uniq.drop("part_bucket")
         else:
@@ -237,35 +238,43 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             # checkpoint read back here would gain a stray inferred
             # part_bucket column (the reverse-toggle leak, ADVICE r4)
             signatures = run_stage(spark, ckpt, ch, "signatures",
-                                   lambda: compute_signatures(uniq, cfg),
+                                   lambda: compute_signatures(
+                                       uniq, cfg, keep_minhash=False),
                                    extra_manifest={"sig_buckets": 0},
                                    require_manifest={"sig_buckets": 0})
     else:
         def _build_sig():
             u = ingest.uniq_with_content(hashed).persist()
             stage_caches.append(u)
-            s = compute_signatures(u, cfg).persist()
+            # keep_minhash=False: the pipeline never reads the raw minhash
+            # array (pairs compare the packed b-bit sketch + band keys), so
+            # skip shipping/caching ~1 KB/row through Arrow and the cache
+            s = compute_signatures(u, cfg, keep_minhash=False).persist()
             stage_caches.append(s)
             with barrier("p_signatures_fill"):
                 s.count()          # ONE action fills ingest, uniq AND sigs
             return u, s
         uniq, signatures = _build_sig()
-        row = _files_agg()         # hot-cache scan (see F2 comment above)
-        n_files = row["n"]
-        if row["n"] != row["d"]:
-            # rare path: re-salt ids, rebuild everything derived from them
-            resolved = ingest.resolve_id_collisions(hashed)
-            for old in (signatures, uniq, files, hashed):
-                old.unpersist()
-                stage_caches.remove(old)
-            hashed = resolved.persist()
-            stage_caches.append(hashed)
-            files = hashed.select(*FILES_COLS).persist()
-            stage_caches.append(files)
-            uniq, signatures = _build_sig()
-            files.count()          # refill the pruned projection too
-        hashed.unpersist()
-        stage_caches.remove(hashed)
+        # F2 agg OVERLAPPED with the candidate chain (round 6): the agg
+        # reads only the hot hashed/files caches, the candidate chain only
+        # the signatures cache — independent given _build_sig's fill, so
+        # the agg's ~2 s barrier hides behind l_salted_fill instead of
+        # preceding it (guide §2.6 overlap-independent-jobs). The thread
+        # is joined right after the candidate gate; on the (~2^-45)
+        # collision path everything derived from the ids — candidates
+        # included — is rebuilt below, exactly as the sequential
+        # formulation rebuilt uniq/signatures.
+        import threading
+
+        fa_box: dict = {}
+
+        def _fa():
+            try:
+                fa_box["row"] = _files_agg()
+            except BaseException as e:      # re-raised on the main thread
+                fa_box["err"] = e
+        fa_thread = threading.Thread(target=_fa, daemon=True)
+        fa_thread.start()
 
     # cand/verified/clusters_uniq each have exactly ONE pipeline consumer;
     # metrics mode adds a second (the count actions below), so they are
@@ -279,17 +288,45 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         bands = lsh.explode_bands(signatures)
         return lsh.candidate_pairs(bands, cfg, handles=cand_internals,
                                    stats=cand_stats)
-    cand = gate("cand_pairs", _cand, eager=multi)
-    if not ckpt and not multi:
-        # LAZY plan truncation: the candidate list is referenced by wave
-        # 1's metadata join AND the escalation anti-join; as a raw plan the
-        # multi-stage LSH DAG is re-analyzed (and with AQE re-planned per
-        # stage) under every reference. The lazy localCheckpoint
-        # materializes once inside the first consuming action (wave 1's
-        # meta agg — no extra barrier) and every later reference plans
-        # against a flat LogicalRDD. Pair rows are 24 bytes — at 10^12-row
-        # scale the checkpoint is a fixed-width store, not a content copy.
-        cand = cand.localCheckpoint(eager=False)
+
+    def _make_cand():
+        c = gate("cand_pairs", _cand, eager=multi)
+        if not ckpt and not multi:
+            # LAZY plan truncation: the candidate list is referenced by
+            # wave 1's metadata join AND the escalation anti-join; as a raw
+            # plan the multi-stage LSH DAG is re-analyzed (and with AQE
+            # re-planned per stage) under every reference. The lazy
+            # localCheckpoint materializes once inside the first consuming
+            # action (wave 1's meta agg — no extra barrier) and every later
+            # reference plans against a flat LogicalRDD. Pair rows are 24
+            # bytes — at 10^12-row scale the checkpoint is a fixed-width
+            # store, not a content copy.
+            c = c.localCheckpoint(eager=False)
+        return c
+    cand = _make_cand()
+    if not ckpt:
+        fa_thread.join()
+        if "err" in fa_box:
+            raise fa_box["err"]
+        row = fa_box["row"]
+        n_files = row["n"]
+        if row["n"] != row["d"]:
+            # rare path: re-salt ids, rebuild everything derived from them
+            resolved = ingest.resolve_id_collisions(hashed)
+            for old in (signatures, uniq, files, hashed):
+                old.unpersist()
+                stage_caches.remove(old)
+            hashed = resolved.persist()
+            stage_caches.append(hashed)
+            files = hashed.select(*FILES_COLS).persist()
+            stage_caches.append(files)
+            uniq, signatures = _build_sig()
+            files.count()          # refill the pruned projection too
+            drain(cand_internals)  # candidates derived from the OLD ids
+            cand_stats.clear()
+            cand = _make_cand()
+        hashed.unpersist()
+        stage_caches.remove(hashed)
 
     esc_holder: dict = {}
 

@@ -25,6 +25,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Hash-repartition a scan before a CPU-heavy Python mapper (guide §2.2/
+    §4): the sf testdata parquet files are single row groups, so the scan —
+    and every narrow stage fused onto it, including mapInPandas — otherwise
+    runs on ONE core (measured: s234_signatures 10.2s -> 1.5s at sf1.0 on
+    local[32]). Keyed by a deterministic column via the caller's first
+    column; values are row-wise, so results are partition-independent. On a
+    real cluster the scan has natural splits and the exchange is ~free
+    (tiny tables); n defaults to the session's default parallelism."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, df.columns[0])
+
+
 def docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's `documents` table onto the BASELINE corpus shape."""
     return _t(spark, sf_dir, "documents").select(
@@ -106,8 +119,8 @@ def q_s1_shingle_counts(spark, sf_dir):
     # distinct char-9-gram count relationally (documents are pure ASCII, so
     # char grams == byte grams).
     from nise_dedup.signatures import compute_signatures
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("file_id"), F.col("text").alias("content"))
+    d = _spread(_t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")))
     return (compute_signatures(d, _SIG_CFG)
             .select(F.col("file_id").alias("doc_id"), "n_shingles"))
 
@@ -126,8 +139,8 @@ def q_s234_signatures(spark, sf_dir):
     # MinHash/SimHash/band keys: hash-defined, rows-only check (parity with
     # the frozen oracle is asserted in tests/test_signatures.py instead).
     from nise_dedup.signatures import compute_signatures
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("file_id"), F.col("text").alias("content"))
+    d = _spread(_t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")))
     return (compute_signatures(d, _SIG_CFG)
             .select("file_id", "n_shingles", "simhash",
                     F.size("minhash").cast("long").alias("sig_len"),
@@ -267,7 +280,10 @@ def q_cc_chain_clusters(spark, sf_dir):
     edges = (a.join(b, on="src")
              .where(F.col("la") == F.col("lb"))
              .select("src", "dst"))
-    comp = connected_components(edges)
+    # chain edges: at most one row per src (each doc has one successor)
+    # with src = dst - 1, so the edge list is distinct with src != dst —
+    # skip CC's defensive input shuffle (round 6)
+    comp = connected_components(edges, assume_distinct=True)
     return (d.join(comp.withColumnRenamed("node", "doc_id"),
                    on="doc_id", how="left")
             .select("doc_id",

@@ -44,6 +44,24 @@ def build_session(master: str | None = None,
                 str(cfg.arrow_batch_rows))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE must be allowed to re-partition CACHED plans (round 6): every
+        # pipeline stage is persisted, and by default InMemoryRelation pins
+        # its partitioning, so no shuffle downstream of a cache was ever
+        # coalesced — the bench ran ~50 stages x 64 near-empty tasks per
+        # dedup run (event-log measured ~0.5 s/task of pure overhead).
+        # Output rows are partition-independent; execution-only.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
+        # Coalesce post-shuffle partitions by SIZE, not to the core count
+        # (guide §2.2): with parallelismFirst (the default) every tiny
+        # shuffle still fans out to defaultParallelism tasks; the advisory
+        # size is the scale-adaptive knob — small inputs collapse to a few
+        # tasks, 100-TB inputs still get size-proportional parallelism.
+        # CPU-heavy stages (Arrow signature/deep mappers) keep their
+        # explicit repartition counts, which AQE never overrides.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",

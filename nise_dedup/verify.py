@@ -462,11 +462,20 @@ def verify_pairs(cand: DataFrame, signatures: DataFrame,
     # (cfg.deep_partition_factor docstring: the deep mapper's per-task cost
     # is long and skew-varied, so at shuffle_partitions tasks the stage
     # drains with a slot-idling straggler tail — measured 20% of stage wall
-    # at 1M/local[8]). Bounded forced-joined calls (eager_meta=False: rep
-    # pairs, escalation) keep the plain width — extra tasks there are pure
-    # overhead against sub-second work.
-    p_deep = cfg.shuffle_partitions * (
-        max(1, cfg.deep_partition_factor) if eager_meta else 1)
+    # at 1M/local[8]) — but never more tasks than the residue can fill
+    # (round 6, scale-adaptive per guide §2.2): the measured residue count
+    # caps the width at ~deep_pairs_per_task pairs per task, so a 48-pair
+    # bench residue runs as ONE task instead of 256 near-empty Python
+    # tasks (~200 ms Arrow/worker setup each, event-log measured), while
+    # the 1M-corpus 5.8M-pair residue still hits the factor*partitions
+    # cap and keeps the r5 straggler-packing behavior. Bounded
+    # forced-joined calls (eager_meta=False: rep pairs, escalation) keep
+    # the plain width — no residue count exists there.
+    if eager_meta:
+        cap = cfg.shuffle_partitions * max(1, cfg.deep_partition_factor)
+        p_deep = max(1, min(cap, -(-n_deep // cfg.deep_pairs_per_task)))
+    else:
+        p_deep = cfg.shuffle_partitions
     use_joined = (formulation == "joined"
                   or (formulation == "auto"
                       and choose_joined(n_deep, n_participants, cfg)))
