@@ -125,7 +125,8 @@ def collapse_exact(files: DataFrame) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
-def uniq_with_content(hashed: DataFrame) -> DataFrame:
+def uniq_with_content(hashed: DataFrame,
+                      winners: DataFrame | None = None) -> DataFrame:
     """The `uniq` relation (SURVEY §1.2): canonical rows with content,
     ready for the signature stage.
 
@@ -148,19 +149,35 @@ def uniq_with_content(hashed: DataFrame) -> DataFrame:
     sha group. NOTE the plan references ``hashed`` twice (winner agg +
     content filter) — callers must hand in a persisted/checkpointed
     relation (the pipeline always does) or the source scans twice.
+
+    ``winners`` (round 6): the caller may hand in the (content_sha256,
+    file_id=min per sha) table — e.g. to persist it once and share it with
+    the publish stage (``expand_exact``) so the metadata aggregate is not
+    recomputed per consumer.
     """
-    winners = (hashed
-               .groupBy("content_sha256")
-               .agg(F.min("file_id").alias("file_id")))
+    if winners is None:
+        winners = compute_winners(hashed)
     return (hashed.join(winners, on=["content_sha256", "file_id"])
             .select("file_id", "content_sha256", "content", "n_bytes"))
 
 
-def expand_exact(clusters_uniq: DataFrame, files: DataFrame) -> DataFrame:
+def compute_winners(hashed: DataFrame) -> DataFrame:
+    """The canonical-representative table: (content_sha256, file_id) with
+    file_id = min file_id per sha — a metadata-only hash aggregate."""
+    return (hashed
+            .groupBy("content_sha256")
+            .agg(F.min("file_id").alias("file_id")))
+
+
+def expand_exact(clusters_uniq: DataFrame, files: DataFrame,
+                 winners: DataFrame | None = None) -> DataFrame:
     """Inverse of R3: propagate each canonical file's cluster_id to every
     exact-duplicate row, via the sha->canonical map. Output has one row per
-    ORIGINAL input row."""
-    sha_to_canon = collapse_exact(files).select(
+    ORIGINAL input row. ``winners`` (round 6): reuse the already-computed
+    (and typically cached) sha->canonical table instead of re-aggregating
+    ``files`` — one metadata shuffle saved per publish."""
+    base = winners if winners is not None else collapse_exact(files)
+    sha_to_canon = base.select(
         "content_sha256", F.col("file_id").alias("canon_id"))
     labeled = sha_to_canon.join(
         clusters_uniq.select(F.col("file_id").alias("canon_id"), "cluster_id"),

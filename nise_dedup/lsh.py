@@ -78,7 +78,14 @@ def salted_buckets(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
               .withColumn("salt",
                           F.pmod(F.xxhash64("file_id"),
                                  F.col("nsplits")).cast("int")))
-    return salted.repartition("band_id", "band_key", "salt")
+    # width = one task per core (floor 16), same rule as the pipeline's
+    # ingest spread (round 6): this repartition feeds the salted CACHE the
+    # self-join co-partitions on, so its width sets the task count of
+    # every downstream pair stage; per-key load stays bounded by the
+    # salting itself, not the partition count
+    width = min(cfg.shuffle_partitions,
+                max(bands.sparkSession.sparkContext.defaultParallelism, 16))
+    return salted.repartition(width, "band_id", "band_key", "salt")
 
 
 def bucket_metrics(bands: DataFrame, cfg: DedupConfig) -> DataFrame:

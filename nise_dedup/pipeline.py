@@ -145,8 +145,19 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     def _ingest():
         df = ingest.basic_filters(corpus, cfg)
         df = ingest.with_sha(ingest.with_file_id(df))
+        # spread width = one task per core (floor 16), not the shuffle
+        # width (round 6): the repartition exists to parallelize the
+        # CPU-heavy signature pass, whose round-robin rows are uniform —
+        # one wave of core-count tasks does the same compute as two waves
+        # of 2x-core tasks with half the per-task overhead, and every
+        # downstream scan of the ingest/uniq/signature caches inherits the
+        # narrower partitioning (A/B at sf1.0: warm pipeline wall 12-13s
+        # -> 8-12s). Capped by shuffle_partitions so explicit small-run
+        # configs keep their layout.
+        spread = min(cfg.shuffle_partitions,
+                     max(spark.sparkContext.defaultParallelism, 16))
         return ensure_min_partitions(
-            df.select(*FILES_COLS, "content"), cfg.shuffle_partitions)
+            df.select(*FILES_COLS, "content"), spread)
     # F2 uniqueness enforcement: an exact (count, countDistinct) agg over
     # the pruned `files` projection. An approx_count_distinct pre-gate is
     # statistically useless for this check (the expected ~2.7e4 collisions
@@ -244,7 +255,12 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
                                    require_manifest={"sig_buckets": 0})
     else:
         def _build_sig():
-            u = ingest.uniq_with_content(hashed).persist()
+            # winners is persisted because it has TWO consumers: the uniq
+            # content filter here and the publish stage's sha->canonical
+            # map (round 6 — publish previously re-aggregated `files`)
+            w = ingest.compute_winners(hashed).persist()
+            stage_caches.append(w)
+            u = ingest.uniq_with_content(hashed, winners=w).persist()
             stage_caches.append(u)
             # keep_minhash=False: the pipeline never reads the raw minhash
             # array (pairs compare the packed b-bit sketch + band keys), so
@@ -253,8 +269,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             stage_caches.append(s)
             with barrier("p_signatures_fill"):
                 s.count()          # ONE action fills ingest, uniq AND sigs
-            return u, s
-        uniq, signatures = _build_sig()
+            return w, u, s
+        winners, uniq, signatures = _build_sig()
         # F2 agg OVERLAPPED with the candidate chain (round 6): the agg
         # reads only the hot hashed/files caches, the candidate chain only
         # the signatures cache — independent given _build_sig's fill, so
@@ -313,14 +329,14 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         if row["n"] != row["d"]:
             # rare path: re-salt ids, rebuild everything derived from them
             resolved = ingest.resolve_id_collisions(hashed)
-            for old in (signatures, uniq, files, hashed):
+            for old in (signatures, uniq, winners, files, hashed):
                 old.unpersist()
                 stage_caches.remove(old)
             hashed = resolved.persist()
             stage_caches.append(hashed)
             files = hashed.select(*FILES_COLS).persist()
             stage_caches.append(files)
-            uniq, signatures = _build_sig()
+            winners, uniq, signatures = _build_sig()
             files.count()          # refill the pruned projection too
             drain(cand_internals)  # candidates derived from the OLD ids
             cand_stats.clear()
@@ -478,7 +494,11 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     drain(verify_internals)
 
     def _publish():
-        return ingest.expand_exact(clusters_uniq, files)
+        # no-ckpt mode reuses the cached winners table for the
+        # sha->canonical map (round 6); ckpt mode has no winners cache
+        # (uniq reloads from parquet), so it keeps the files re-aggregate
+        return ingest.expand_exact(clusters_uniq, files,
+                                   winners=None if ckpt else winners)
     clusters = gate("clusters", _publish, eager=False)
 
     metrics = {"config_hash": ch, "n_files": n_files}

@@ -52,17 +52,18 @@ def build_session(master: str | None = None,
         # Output rows are partition-independent; execution-only.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
-        # Coalesce post-shuffle partitions by SIZE, not to the core count
-        # (guide §2.2): with parallelismFirst (the default) every tiny
-        # shuffle still fans out to defaultParallelism tasks; the advisory
-        # size is the scale-adaptive knob — small inputs collapse to a few
-        # tasks, 100-TB inputs still get size-proportional parallelism.
-        # CPU-heavy stages (Arrow signature/deep mappers) keep their
-        # explicit repartition counts, which AQE never overrides.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        # AQE coalescing keeps its parallelism-first default: a size-only
+        # policy (parallelismFirst=false, 32m advisory) was A/B-measured
+        # WORSE here — several stages are compute-dense per byte (the pair
+        # dedup whose rows expand ~60x when vectors attach downstream ran
+        # as ONE 8.5s-CPU task), so coalescing below the core count
+        # serializes them. CPU-heavy Python stages additionally pin their
+        # own width with explicit repartitions, which AQE never overrides.
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        # prefer shuffled-hash over sort-merge when sizes allow (guide §3.1/
+        # §9): the pipeline's equi-joins are id-keyed and fixed-width; the
+        # sort buys nothing downstream
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("NISE_DRIVER_MEM", "24g"))

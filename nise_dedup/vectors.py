@@ -211,6 +211,13 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                                 F.col("v").alias("va")), on="a")
               .join(vecs.select(F.col("vec_id").alias("b"),
                                 F.col("v").alias("vb")), on="b"))
+    # explicit width for the CPU-heavy GEMM stage (round 6): AQE's
+    # size-based partition coalescing (session.py) would otherwise fold the
+    # re-rank into a handful of tasks — its cost is compute per pair, not
+    # bytes, so like the signature/deep mappers it pins its own
+    # parallelism; hash on `a` so the per-task vector reuse stays
+    joined = joined.repartition(
+        2 * joined.sparkSession.sparkContext.defaultParallelism, F.col("a"))
     scored = joined.mapInPandas(_pair_cosine_mapper,
                                 schema="a long, b long, cosine double")
     return (scored

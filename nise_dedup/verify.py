@@ -356,8 +356,14 @@ def _pair_meta(cand: DataFrame, signatures: DataFrame,
                                F.col("mhb_lo").alias("lo_b"),
                                F.col("mhb_hi").alias("hi_b"),
                                F.col("n_bytes").alias("len_b"))
-    return (cand.join(meta_a.hint("shuffle_hash"), on="a")
-            .join(meta_b.hint("shuffle_hash"), on="b")
+    # join strategy left to AQE (round 6): the forced shuffle_hash hint
+    # suppressed AQE's runtime broadcast conversion, so the bench-scale
+    # sketch table (40 B/row) shuffled the pair list twice; unhinted, AQE
+    # broadcasts the sketch side when its runtime size fits and falls back
+    # to shuffled-hash (session.py sets preferSortMergeJoin=false) at
+    # scale — the same plan the hint forced, minus the sort
+    return (cand.join(meta_a, on="a")
+            .join(meta_b, on="b")
             .withColumn("est", bbit_est_expr(F.col("lo_a"), F.col("hi_a"),
                                              F.col("lo_b"), F.col("hi_b"),
                                              m_eff))

@@ -194,11 +194,11 @@ def test_incremental_pipeline_kill_and_resume(spark, tmp_path, monkeypatch):
     real = P.compute_signatures
     calls: list[int] = []
 
-    def failing(uniq, c):
+    def failing(uniq, c, **kw):
         calls.append(1)
         if len(calls) == 3:
             raise RuntimeError("injected kill")
-        return real(uniq, c)
+        return real(uniq, c, **kw)
 
     ckpt = str(tmp_path / "ck")
     monkeypatch.setattr(P, "compute_signatures", failing)
@@ -209,7 +209,7 @@ def test_incremental_pipeline_kill_and_resume(spark, tmp_path, monkeypatch):
     calls.clear()
     monkeypatch.setattr(
         P, "compute_signatures",
-        lambda uniq, c: (calls.append(1), real(uniq, c))[1])
+        lambda uniq, c, **kw: (calls.append(1), real(uniq, c, **kw))[1])
     res = run_pipeline(spark, df, cfg, ckpt=ckpt, collect_metrics=False)
     assert len(calls) == 1                       # ONLY the missing bucket
     assert _clusters(res) == plain
