@@ -104,8 +104,17 @@ def lsh_code_bands(embeddings: DataFrame, tables: int = 16, bits: int = 12,
                    vec_col: str = "embedding") -> DataFrame:
     """Banded sign codes in the band-table shape (file_id, band_id,
     band_key) so the candidate stage is EXACTLY the text pipeline's
-    salted/capped L2+L3 machinery."""
+    salted/capped L2+L3 machinery. The input is spread to at least one
+    partition per core before the Arrow mapper (round 6): the sandbox
+    embedding tables are single parquet row groups, so the GEMM stage —
+    and the band-count aggregation fused onto it — otherwise runs on one
+    task; on a real cluster the scan has natural splits and this is a
+    plan-metadata no-op. Codes are row-wise deterministic (seeded planes
+    per worker), so results are partition-independent."""
+    from nise_dedup.pipeline import ensure_min_partitions
     df = embeddings.select(F.col(id_col), F.col(vec_col))
+    df = ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism)
     return df.mapInPandas(
         _band_mapper(tables, bits, seed, id_col, vec_col),
         schema="file_id long, band_id int, band_key long")
@@ -171,7 +180,11 @@ def cosine_topk_bruteforce(embeddings: DataFrame, n_queries: int = 10,
                 "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
                 "cosine": S.reshape(-1)})
 
-    scored = (embeddings.select(id_col, vec_col)
+    from nise_dedup.pipeline import ensure_min_partitions
+    corpus_side = ensure_min_partitions(
+        embeddings.select(id_col, vec_col),
+        embeddings.sparkSession.sparkContext.defaultParallelism)
+    scored = (corpus_side
               .mapInPandas(mapper,
                            schema="query_id long, neighbor_id long, "
                                   "cosine double")
