@@ -217,6 +217,19 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     cfg = cfg or DedupConfig()
     bands = lsh_code_bands(embeddings, tables, bits, seed, id_col, vec_col)
     pairs = L.candidate_pairs(bands, cfg, handles=handles)
+    # explicit width for the CPU-heavy GEMM stage (round 6): AQE's
+    # size-based partition coalescing (session.py) would otherwise fold the
+    # re-rank into a handful of tasks — its cost is compute per pair, not
+    # bytes, so like the signature/deep mappers it pins its own
+    # parallelism; hash on `a` so the per-task vector reuse stays. The pin
+    # goes on the SLIM pair table BEFORE the vector attach (guide §2.3 —
+    # shuffle keys, not payloads): repartitioning after the joins moved
+    # ~0.5 KB of attached vectors per pair through the exchange when 16
+    # bytes of ids fix the same stage width; the attach joins preserve the
+    # pair-side partitioning in both the broadcast and the shuffled-hash
+    # regime, so the GEMM stage still runs at this width.
+    pairs = pairs.repartition(
+        2 * pairs.sparkSession.sparkContext.defaultParallelism, F.col("a"))
     vecs = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"))
     joined = (pairs
@@ -224,13 +237,6 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                                 F.col("v").alias("va")), on="a")
               .join(vecs.select(F.col("vec_id").alias("b"),
                                 F.col("v").alias("vb")), on="b"))
-    # explicit width for the CPU-heavy GEMM stage (round 6): AQE's
-    # size-based partition coalescing (session.py) would otherwise fold the
-    # re-rank into a handful of tasks — its cost is compute per pair, not
-    # bytes, so like the signature/deep mappers it pins its own
-    # parallelism; hash on `a` so the per-task vector reuse stays
-    joined = joined.repartition(
-        2 * joined.sparkSession.sparkContext.defaultParallelism, F.col("a"))
     scored = joined.mapInPandas(_pair_cosine_mapper,
                                 schema="a long, b long, cosine double")
     return (scored
