@@ -267,3 +267,37 @@ def test_escalation_quiet_when_reps_pass(spark):
                                      "a long, b long, passed boolean")
     assert failed_salt_pairs(salted, verified, cfg.rep_k).count() == 0
     assert escalation_pairs(salted, verified, cfg).count() == 0
+
+
+def test_costed_failed_cum_is_global_prefix_sum(spark):
+    """The escalation budget's running total is now a range-partitioned
+    prefix sum (log2(cost) buckets + per-bucket offsets) instead of one
+    unpartitioned window (round 6). The cum column must still equal the
+    GLOBAL prefix sum of cost in (cost, band_id, band_key, salt_lo,
+    salt_hi) ascending order — ties included — or the budget would admit
+    a different pair set."""
+    from nise_dedup.lsh import _costed_failed
+
+    # 120 buckets split 2 ways; member counts vary 2..14 with many ties,
+    # so costs span several log2 buckets AND repeat within each.
+    rows, fid = [], 0
+    for b in range(120):
+        m = 2 + (b % 13)
+        for salt in (0, 1):
+            for _ in range(m):
+                rows.append((b % 5, b, salt, fid, 2 * m, 2))
+                fid += 1
+    salted = spark.createDataFrame(
+        rows, "band_id int, band_key long, salt int, file_id long, "
+              "cnt long, nsplits int")
+    verified = spark.createDataFrame([], "a long, b long, passed boolean")
+
+    got = _costed_failed(salted, verified, DedupConfig()).collect()
+    got_sorted = sorted(
+        got, key=lambda r: (r["cost"], r["band_id"], r["band_key"],
+                            r["salt_lo"], r["salt_hi"]))
+    assert len(got_sorted) == 120
+    running = 0
+    for r in got_sorted:
+        running += r["cost"]
+        assert r["cum"] == running, (r, running)
