@@ -180,22 +180,22 @@ def _costed_failed(salted: DataFrame, verified: DataFrame,
     escalation_pairs (keeps cum <= escalate_max_pairs) and
     escalation_diag (counts what the budget skipped).
 
-    The running total is a RANGE-PARTITIONED prefix sum (round 6, VERDICT
-    r5 what's-wrong #1: the previous global Window.orderBy cumsum was one
-    sort task holding the whole failed-pair table — bounded at bench
-    scale, but failed-salt-pair count grows with corpus size). Rows are
-    bucketed by floor(log2(cost)) — monotone in cost, so concatenating
-    buckets in bucket order preserves the global (cost, bkey, salt_lo,
-    salt_hi) order — the running sum is computed per bucket (parallel,
-    partitioned window) and each bucket's starting offset comes from a
-    window over the PER-BUCKET totals: <= ~17 rows by construction
-    (cost = m_lo*m_hi <= escalate_max_members^2), bounded by config, not
-    data. cum values are bit-identical to the global formulation (integer
-    sums, same order), so the admitted pair set under the budget is
-    unchanged — asserted by test_lsh.py's budget tests. Worst case (every
-    failed pair the same cost) degenerates to one range, i.e. exactly the
-    old single-task sort — the split removes the bottleneck whenever
-    costs vary, which is what bucket-size variance at scale produces."""
+    The running total uses one UNPARTITIONED window — safe because its
+    input is the failed-salt-pair table, bounded by the (metrics-tracked)
+    count of salted sub-bucket pairs, not by corpus size (2,893 rep pairs
+    -> <=723 salt pairs on the 1M bench corpus). Structurally: admissible
+    buckets have cnt <= escalate_max_members (512), salting starts above
+    bucket_cap (256), so nsplits = 2 and each admissible failed bucket
+    contributes exactly ONE salt pair — rows <= #salted admissible
+    buckets, 40 B each; even a pathological 100M-salted-bucket corpus
+    sorts ~4 GB in the one task (spills, completes). A range-partitioned
+    prefix-sum formulation (floor(log2(cost)) buckets + per-bucket
+    offsets, cum bit-identical — test_costed_failed_cum_is_global_prefix_
+    sum pins the semantics) was A/B-measured at the 1M corpus and
+    REVERTED: 414/447 s vs 331/325 s wall at local[8] — it references
+    this subtree twice (bucket totals + rows), and the duplicated
+    evaluation above the rep-verify join costs far more than the single
+    bounded sort saves."""
     failed = failed_salt_pairs(salted, verified, cfg.rep_k)
     bkey = ["band_id", "band_key"]
     mcnt = (_escalation_members(salted, cfg)
@@ -207,20 +207,8 @@ def _costed_failed(salted: DataFrame, verified: DataFrame,
     costed = (failed.join(cl, on=bkey + ["salt_lo"])
               .join(cr, on=bkey + ["salt_hi"])
               .withColumn("cost", F.col("m_lo") * F.col("m_hi")))
-    # cost >= 1 (member counts >= 1). Any monotone-in-cost bucketing is
-    # correct here; floor(log2) keeps the bucket count logarithmic.
-    costed = costed.withColumn(
-        "_cb", F.floor(F.log2(F.col("cost").cast("double"))).cast("int"))
-    totals = costed.groupBy("_cb").agg(F.sum("cost").alias("_bt"))
-    w_off = (Window.orderBy("_cb")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
-    w_in = (Window.partitionBy("_cb")
-            .orderBy("cost", *bkey, "salt_lo", "salt_hi"))
-    return (costed
-            .join(F.broadcast(offsets.select("_cb", "_off")), on="_cb")
-            .withColumn("cum", F.col("_off") + F.sum("cost").over(w_in))
+    w = Window.orderBy("cost", *bkey, "salt_lo", "salt_hi")
+    return (costed.withColumn("cum", F.sum("cost").over(w))
             .select(*bkey, "salt_lo", "salt_hi", "cost", "cum"))
 
 
